@@ -1,0 +1,286 @@
+"""Typed configuration system.
+
+Replaces the reference's ``easydict`` class hierarchy
+(``/root/reference/config/indoor_config.py:4-80``,
+``outdoor_config.py:4-82``, ``config/__init__.py:18-56``) with frozen
+dataclasses: two base profiles (indoor / outdoor) plus per-dataset presets,
+and a TPU-specific ``CapacityConfig`` fixing every static shape used on
+device (clouds, keypoints, patches, correspondences, RANSAC hypotheses).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, replace
+from typing import Optional, Tuple
+
+__all__ = [
+    "DataConfig",
+    "TrainConfig",
+    "TestConfig",
+    "OptimConfig",
+    "PatchConfig",
+    "MatchConfig",
+    "CapacityConfig",
+    "Config",
+    "make_cfg",
+    "indoor_base",
+    "outdoor_base",
+    "DATASETS",
+]
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset / preprocessing knobs (reference: ``config/indoor_config.py:9-16``)."""
+
+    dataset: str = ""
+    root: str = ""
+    downsample: float = 0.02          # train-time first-level voxel size
+    voxel_size_0: float = 0.035       # second-level voxel size (sds)
+    max_num_pts: int = 30000          # cap on points per cloud
+    manual_seed: int = 123
+    # outdoor LiDAR pair-walking distance, where applicable
+    pdist: float = 10.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Two-stage training knobs (reference: ``config/indoor_config.py:19-27``)."""
+
+    epoch: int = 10
+    max_iter: int = 50000
+    batch_size: int = 1
+    pos_num: int = 512
+    augmentation_noise: float = 0.001
+    pretrain_model: str = ""
+    all_stage: Tuple[str, ...] = ("Desc", "Pose")
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    """Evaluation thresholds + harness switches (reference: ``config/indoor_config.py:30-37``)."""
+
+    experiment_id: str = "threedmatch"
+    pose_refine: bool = False
+    enable_timing: bool = False
+    rte_thresh: float = 0.3
+    rre_thresh: float = 15.0
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer schedule (reference: ``config/indoor_config.py:40-44``)."""
+
+    lr_desc: float = 0.001
+    lr_pose: float = 0.001
+    lr_decay: float = 0.50
+    weight_decay: float = 1e-6
+    scheduler_interval_desc: int = 2
+    scheduler_interval_pose: int = 1
+
+    def lr(self, stage: str) -> float:
+        return self.lr_desc if stage == "Desc" else self.lr_pose
+
+    def scheduler_interval(self, stage: str) -> int:
+        return (
+            self.scheduler_interval_desc
+            if stage == "Desc"
+            else self.scheduler_interval_pose
+        )
+
+
+@dataclass(frozen=True)
+class PatchConfig:
+    """Multi-scale cylindrical patch embedder (reference: ``config/indoor_config.py:47-61``)."""
+
+    des_r: float = 0.3                    # training descriptor radius
+    num_points_per_patch: int = 512
+    num_fps: int = 1500
+    rad_n: int = 3
+    azi_n: int = 20
+    ele_n: int = 7
+    delta: float = 0.8
+    voxel_sample: int = 10
+    num_scales: int = 3
+    is_aligned_to_global_z: bool = False
+    # density-aware radius estimation: target % of pairwise dists within radius
+    search_radius_thresholds: Tuple[float, ...] = (5.0, 2.0, 0.5)
+    num_points_radius_estimate: int = 2000
+    radius_max: float = 5.0               # bisection upper bound (reference max_r)
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    """Matching + pose solving (reference: ``config/indoor_config.py:64-77``)."""
+
+    pose_estimator: str = "ransac"        # "ransac" | "gnc"
+    dist_th: float = 0.10
+    inlier_th: float = 1.0 / 3.0
+    similar_th: float = 0.8
+    confidence: float = 0.999
+    iter_n: int = 50000                   # reference RANSAC iteration budget
+    kiss_resolution: float = 0.3
+    enable_early_exit: bool = False
+    early_exit_min_inliers: int = 50
+
+
+@dataclass(frozen=True)
+class CapacityConfig:
+    """TPU static-shape capacities (new: no reference counterpart).
+
+    Every device-side buffer is padded to a capacity here and carries a
+    validity mask, so the whole pipeline traces to a single XLA program.
+    """
+
+    max_points: int = 30000               # padded cloud size (== data.max_num_pts)
+    num_ransac_hypotheses: int = 8192     # vectorized hypothesize-and-verify budget
+    ransac_chunk: int = 2048              # hypotheses scored per scan step
+    sphere_query_chunk: int = 256         # patches per chunk in the SPT grid query
+    irls_iters: int = 20                  # reference post_refinement iterations
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    patch: PatchConfig = field(default_factory=PatchConfig)
+    match: MatchConfig = field(default_factory=MatchConfig)
+    capacity: CapacityConfig = field(default_factory=CapacityConfig)
+    stage: str = "test"                   # "Desc" | "Pose" | "test"
+    benchmark: Optional[str] = None       # e.g. "3DLoMatch" reuses 3DMatch data
+
+    def with_stage(self, stage: str) -> "Config":
+        return replace(self, stage=stage)
+
+    def override(self, **kw) -> "Config":
+        """Nested override: ``cfg.override(match=dict(dist_th=0.2))``."""
+        updates = {}
+        for k, v in kw.items():
+            cur = getattr(self, k)
+            if isinstance(v, dict) and dataclasses.is_dataclass(cur):
+                updates[k] = replace(cur, **v)
+            else:
+                updates[k] = v
+        return replace(self, **updates)
+
+
+def indoor_base() -> Config:
+    """Indoor profile: RGB-D fragment scale (reference ``IndoorBaseConfig``)."""
+    return Config()
+
+
+def outdoor_base() -> Config:
+    """Outdoor profile: LiDAR scale (reference ``OutdoorBaseConfig``)."""
+    return Config(
+        data=DataConfig(downsample=0.05, voxel_size_0=0.30),
+        train=TrainConfig(epoch=50, augmentation_noise=0.01),
+        test=TestConfig(rte_thresh=2.0, rre_thresh=5.0),
+        optim=OptimConfig(scheduler_interval_desc=10, scheduler_interval_pose=5),
+        patch=PatchConfig(des_r=3.0, is_aligned_to_global_z=True),
+        match=MatchConfig(
+            dist_th=0.30, inlier_th=2.0, similar_th=0.9, confidence=1.0
+        ),
+    )
+
+
+def _threedmatch(root: str) -> Config:
+    cfg = indoor_base()
+    return cfg.override(
+        data=dict(dataset="3DMatch", root=root),
+        test=dict(experiment_id="threedmatch", pose_refine=True),
+    )
+
+
+def _threedlomatch(root: str) -> Config:
+    cfg = _threedmatch(root)
+    return replace(cfg.override(data=dict(dataset="3DLoMatch")), benchmark="3DLoMatch")
+
+
+def _scannetpp_iphone(root: str) -> Config:
+    return indoor_base().override(data=dict(dataset="Scannetpp_iphone", root=root))
+
+
+def _scannetpp_faro(root: str) -> Config:
+    return indoor_base().override(data=dict(dataset="Scannetpp_faro", root=root))
+
+
+def _kitti(root: str) -> Config:
+    return outdoor_base().override(
+        data=dict(dataset="KITTI", root=root, pdist=10.0),
+        test=dict(experiment_id="kitti", rte_thresh=2.0, rre_thresh=5.0),
+    )
+
+
+def _wod(root: str) -> Config:
+    return outdoor_base().override(data=dict(dataset="WOD", root=root, pdist=10.0))
+
+
+def _mit(root: str) -> Config:
+    return outdoor_base().override(data=dict(dataset="MIT", root=root, pdist=5.0))
+
+
+def _kaist(root: str) -> Config:
+    return outdoor_base().override(data=dict(dataset="KAIST", root=root, pdist=10.0))
+
+
+def _kaist_hetero(root: str) -> Config:
+    return outdoor_base().override(data=dict(dataset="KAIST_hetero", root=root, pdist=10.0))
+
+
+def _eth(root: str) -> Config:
+    return outdoor_base().override(
+        data=dict(dataset="ETH", root=root),
+        test=dict(rte_thresh=0.3, rre_thresh=2.0),
+        match=dict(dist_th=0.20),
+    )
+
+
+def _oxford(root: str) -> Config:
+    return outdoor_base().override(data=dict(dataset="Oxford", root=root, pdist=5.0))
+
+
+def _tiers(root: str) -> Config:
+    return outdoor_base().override(data=dict(dataset="TIERS", root=root, pdist=10.0))
+
+
+def _tiers_hetero(root: str) -> Config:
+    return outdoor_base().override(data=dict(dataset="TIERS_hetero", root=root, pdist=10.0))
+
+
+def _modelnet40(root: str) -> Config:
+    cfg = indoor_base()
+    return cfg.override(
+        data=dict(dataset="ModelNet40", root=root, downsample=0.01, voxel_size_0=0.02),
+        test=dict(rte_thresh=0.1, rre_thresh=15.0),
+    )
+
+
+DATASETS = {
+    "3DMatch": _threedmatch,
+    "3DLoMatch": _threedlomatch,
+    "Scannetpp_iphone": _scannetpp_iphone,
+    "Scannetpp_faro": _scannetpp_faro,
+    "KITTI": _kitti,
+    "WOD": _wod,
+    "MIT": _mit,
+    "KAIST": _kaist,
+    "KAIST_hetero": _kaist_hetero,
+    "ETH": _eth,
+    "Oxford": _oxford,
+    "TIERS": _tiers,
+    "TIERS_hetero": _tiers_hetero,
+    "ModelNet40": _modelnet40,
+}
+
+
+def make_cfg(dataset_name: str, root_dir: str = "") -> Config:
+    """Name -> config dispatch (reference: ``config/__init__.py:18-56``)."""
+    try:
+        return DATASETS[dataset_name](root_dir)
+    except KeyError:
+        raise ValueError(
+            f"Unknown dataset {dataset_name!r}; expected one of {sorted(DATASETS)}"
+        ) from None
