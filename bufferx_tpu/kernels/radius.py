@@ -1,0 +1,84 @@
+"""Density-aware descriptor radius estimation.
+
+Replaces ``density_aware_radius_estimation``
+(``/root/reference/models/BUFFERX.py:627-696``): find the radius ``r`` such
+that the fraction of (keypoint, point) pairs with distance < r equals the
+scale's target percentage. The reference bisects on the radius with a
+data-dependent ``while``; on TPU we run a fixed-iteration bisection over the
+value (12 rounds reach the reference's 1e-3 precision on the [0, 5] m
+bracket) with each round a masked count over the precomputed distance
+matrix — branch-free and jit-able with traced inputs.
+
+Semantics preserved from the reference, including its quirks:
+- denominator is the *full* pair count even though distances beyond
+  ``max_r`` are excluded from the numerator;
+- the denser cloud of the pair is the one measured;
+- result is rounded to 2 decimals.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from bufferx_tpu.kernels.neighbors import sqdist
+
+__all__ = ["density_aware_radius"]
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def _bisect_quantile(
+    d2: jnp.ndarray,
+    weights: jnp.ndarray,
+    target_count: jnp.ndarray,
+    min_r: float,
+    max_r: float,
+    num_iters: int = 12,
+) -> jnp.ndarray:
+    """Find r with sum(weights[d2 < r²]) ≈ target_count by bisection."""
+
+    def body(_, bounds):
+        low, high = bounds
+        mid = 0.5 * (low + high)
+        count = jnp.sum(jnp.where(d2 < mid * mid, weights, 0.0))
+        low = jnp.where(count < target_count, mid, low)
+        high = jnp.where(count >= target_count, mid, high)
+        return low, high
+
+    low, high = jax.lax.fori_loop(
+        0, num_iters, body, (jnp.float32(min_r), jnp.float32(max_r))
+    )
+    return 0.5 * (low + high)
+
+
+def density_aware_radius(
+    pts: jnp.ndarray,
+    pts_mask: jnp.ndarray,
+    kpts: jnp.ndarray,
+    kpts_mask: jnp.ndarray,
+    thresholds,
+    max_r: float = 5.0,
+):
+    """Per-scale descriptor radii for one cloud.
+
+    pts: [N, 3] the denser cloud (select on host or with a where);
+    kpts: [K, 3] probe keypoints (reference: 2000 FPS probes). thresholds:
+    static tuple of target percentages, e.g. (5.0, 2.0, 0.5). Returns
+    [len(thresholds)] f32 radii, rounded to 2 decimals.
+    """
+    d2 = sqdist(kpts, pts)
+    w = (kpts_mask[:, None] & pts_mask[None, :]).astype(jnp.float32)
+    # reference counts only pairs within max_r but divides by the full count
+    w = jnp.where(d2 <= max_r * max_r, w, 0.0)
+    total = (
+        jnp.sum(kpts_mask.astype(jnp.float32))
+        * jnp.sum(pts_mask.astype(jnp.float32))
+    )
+    radii = []
+    for th in thresholds:
+        target = th / 100.0 * total
+        r = _bisect_quantile(d2, w, target, 0.0, max_r)
+        radii.append(jnp.round(r * 100.0) / 100.0)
+    return jnp.stack(radii)

@@ -1,0 +1,235 @@
+"""Kernel tests against numpy oracles (CPU backend; Pallas via interpret)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bufferx_tpu.kernels import fps, neighbors, radius, voxel
+
+
+def np_fps(xyz, k):
+    """Numpy oracle: FPS starting at index 0."""
+    n = len(xyz)
+    sel = [0]
+    mind = np.sum((xyz - xyz[0]) ** 2, axis=-1)
+    for _ in range(k - 1):
+        s = int(np.argmax(mind))
+        sel.append(s)
+        mind = np.minimum(mind, np.sum((xyz - xyz[s]) ** 2, axis=-1))
+    return np.array(sel)
+
+
+class TestFPS:
+    def test_matches_oracle(self, rng):
+        xyz = rng.randn(200, 3).astype(np.float32)
+        mask = np.ones(200, bool)
+        idx, valid = fps.farthest_point_sampling(jnp.asarray(xyz), jnp.asarray(mask), 32)
+        np.testing.assert_array_equal(np.asarray(idx), np_fps(xyz, 32))
+        assert np.all(np.asarray(valid))
+
+    def test_respects_mask(self, rng):
+        xyz = rng.randn(100, 3).astype(np.float32)
+        xyz[50:] += 100.0  # invalid points are far away: would dominate FPS
+        mask = np.zeros(100, bool)
+        mask[:50] = True
+        idx, valid = fps.farthest_point_sampling(jnp.asarray(xyz), jnp.asarray(mask), 20)
+        assert np.all(np.asarray(idx) < 50)
+        assert np.all(np.asarray(valid))
+
+    def test_more_samples_than_valid(self, rng):
+        xyz = rng.randn(10, 3).astype(np.float32)
+        mask = np.ones(10, bool)
+        idx, valid = fps.farthest_point_sampling(jnp.asarray(xyz), jnp.asarray(mask), 16)
+        assert np.asarray(valid).sum() == 10
+        # tail repeats the first selection
+        np.testing.assert_array_equal(np.asarray(idx)[10:], np.asarray(idx)[0])
+
+    def test_spread_property(self, rng):
+        # FPS keypoints must be farther apart than random ones
+        xyz = rng.randn(2000, 3).astype(np.float32)
+        mask = np.ones(2000, bool)
+        idx, _ = fps.farthest_point_sampling(jnp.asarray(xyz), jnp.asarray(mask), 50)
+        sel = xyz[np.asarray(idx)]
+        d = np.sqrt(((sel[:, None] - sel[None]) ** 2).sum(-1))
+        np.fill_diagonal(d, np.inf)
+        rnd = xyz[rng.choice(2000, 50, replace=False)]
+        dr = np.sqrt(((rnd[:, None] - rnd[None]) ** 2).sum(-1))
+        np.fill_diagonal(dr, np.inf)
+        assert d.min() > dr.min()
+
+    def test_pallas_interpret_matches(self, rng):
+        xyz = rng.randn(300, 3).astype(np.float32)
+        mask = np.ones(300, bool)
+        mask[250:] = False
+        with jax.disable_jit():  # interpret-mode pallas on CPU
+            from jax.experimental.pallas import tpu as pltpu
+
+            with pltpu.force_tpu_interpret_mode():
+                idx_p, valid_p = fps.farthest_point_sampling_pallas(
+                    jnp.asarray(xyz), jnp.asarray(mask), 32
+                )
+        idx_j, valid_j = fps.farthest_point_sampling(
+            jnp.asarray(xyz), jnp.asarray(mask), 32
+        )
+        np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_j))
+        np.testing.assert_array_equal(np.asarray(valid_p), np.asarray(valid_j))
+
+
+class TestNeighbors:
+    def test_sqdist_oracle(self, rng):
+        a = rng.randn(20, 3).astype(np.float32)
+        b = rng.randn(30, 3).astype(np.float32)
+        d = neighbors.sqdist(jnp.asarray(a), jnp.asarray(b))
+        expect = ((a[:, None] - b[None]) ** 2).sum(-1)
+        np.testing.assert_allclose(np.asarray(d), expect, atol=1e-4)
+
+    def test_nearest_neighbor(self, rng):
+        q = rng.randn(50, 32).astype(np.float32)
+        r = rng.randn(80, 32).astype(np.float32)
+        idx, d2 = neighbors.nearest_neighbor(jnp.asarray(q), jnp.asarray(r))
+        expect = np.argmin(((q[:, None] - r[None]) ** 2).sum(-1), axis=-1)
+        np.testing.assert_array_equal(np.asarray(idx), expect)
+
+    def test_nearest_neighbor_masked(self, rng):
+        q = rng.randn(10, 4).astype(np.float32)
+        r = np.concatenate([q + 100.0, q + 0.01 * rng.randn(10, 4)]).astype(np.float32)
+        mask_r = np.concatenate([np.ones(10, bool), np.zeros(10, bool)])
+        idx, _ = neighbors.nearest_neighbor(
+            jnp.asarray(q), jnp.asarray(r), mask_ref=jnp.asarray(mask_r)
+        )
+        assert np.all(np.asarray(idx) < 10)  # masked refs never selected
+
+    def test_mutual_nearest_perfect(self, rng):
+        # identical descriptor sets in shuffled order: all slots mutual
+        a = rng.randn(40, 16).astype(np.float32)
+        perm = rng.permutation(40)
+        b = a[perm]
+        nn, mutual = neighbors.mutual_nearest(
+            jnp.asarray(a), jnp.asarray(b),
+            jnp.ones(40, bool), jnp.ones(40, bool),
+        )
+        assert np.all(np.asarray(mutual))
+        np.testing.assert_array_equal(perm[np.asarray(nn)], np.arange(40))
+
+    def test_mutual_nearest_respects_masks(self, rng):
+        a = rng.randn(20, 8).astype(np.float32)
+        b = a.copy()
+        mask_a = np.ones(20, bool)
+        mask_a[15:] = False
+        nn, mutual = neighbors.mutual_nearest(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(mask_a), jnp.ones(20, bool)
+        )
+        assert not np.any(np.asarray(mutual)[15:])
+        assert np.all(np.asarray(mutual)[:15])
+
+    def test_ball_query_within_radius(self, rng):
+        pts = rng.randn(500, 3).astype(np.float32)
+        centers = pts[:8]
+        idx, valid = neighbors.ball_query(
+            jnp.asarray(pts), jnp.ones(500, bool), jnp.asarray(centers),
+            jnp.float32(0.7), jax.random.PRNGKey(0), 32, use_approx=False,
+        )
+        idx, valid = np.asarray(idx), np.asarray(valid)
+        for k in range(8):
+            got = pts[idx[k][valid[k]]]
+            d = np.linalg.norm(got - centers[k], axis=-1)
+            assert np.all(d <= 0.7 + 1e-5)
+            # center itself is in radius, so at least one valid
+            assert valid[k].sum() >= 1
+
+    def test_ball_query_empty(self, rng):
+        pts = rng.randn(100, 3).astype(np.float32)
+        centers = np.full((2, 3), 50.0, np.float32)  # nothing within radius
+        idx, valid = neighbors.ball_query(
+            jnp.asarray(pts), jnp.ones(100, bool), jnp.asarray(centers),
+            jnp.float32(0.5), jax.random.PRNGKey(0), 16, use_approx=False,
+        )
+        assert not np.any(np.asarray(valid))
+
+    def test_ball_query_random_subset(self, rng):
+        # when > nsample points in radius, selection should not be the
+        # nearest ones: check it spans the radius
+        pts = (rng.rand(2000, 3).astype(np.float32) - 0.5) * 2.0
+        centers = np.zeros((1, 3), np.float32)
+        idx, valid = neighbors.ball_query(
+            jnp.asarray(pts), jnp.ones(2000, bool), jnp.asarray(centers),
+            jnp.float32(0.9), jax.random.PRNGKey(1), 64, use_approx=False,
+        )
+        got = pts[np.asarray(idx)[0][np.asarray(valid)[0]]]
+        d = np.linalg.norm(got, axis=-1)
+        assert d.max() > 0.6  # not clustered at the center
+
+
+class TestVoxel:
+    def test_matches_numpy(self, rng):
+        xyz = rng.randn(1000, 3).astype(np.float32)
+        out_np = voxel.voxel_downsample_np(xyz, 0.5)
+        out_j, mask_j = voxel.voxel_downsample(
+            jnp.asarray(xyz), jnp.ones(1000, bool), jnp.float32(0.5), 512
+        )
+        got = np.asarray(out_j)[np.asarray(mask_j)]
+        assert got.shape == out_np.shape
+        # same barycenter set (sort rows for comparison)
+        a = got[np.lexsort(got.T)]
+        b = out_np[np.lexsort(out_np.T)]
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_respects_mask(self, rng):
+        xyz = rng.randn(100, 3).astype(np.float32)
+        mask = np.zeros(100, bool)
+        mask[:10] = True
+        out, m = voxel.voxel_downsample(
+            jnp.asarray(xyz), jnp.asarray(mask), jnp.float32(10.0), 64
+        )
+        # all 10 valid points fall in one or two voxels at this size
+        assert 1 <= np.asarray(m).sum() <= 4
+
+    def test_capacity_overflow(self, rng):
+        xyz = (rng.rand(256, 3) * 100).astype(np.float32)  # all distinct voxels
+        out, m = voxel.voxel_downsample(
+            jnp.asarray(xyz), jnp.ones(256, bool), jnp.float32(0.01), 64
+        )
+        assert np.asarray(m).sum() == 64  # filled to capacity, no crash
+
+    def test_single_voxel_barycenter(self):
+        xyz = np.array([[0.1, 0.1, 0.1], [0.2, 0.2, 0.2]], np.float32)
+        out, m = voxel.voxel_downsample(
+            jnp.asarray(xyz), jnp.ones(2, bool), jnp.float32(1.0), 8
+        )
+        np.testing.assert_allclose(np.asarray(out)[0], [0.15, 0.15, 0.15], atol=1e-6)
+        assert np.asarray(m).sum() == 1
+
+
+class TestRadius:
+    def test_quantile_semantics(self, rng):
+        pts = rng.randn(3000, 3).astype(np.float32)
+        kpts = pts[:200]
+        radii = radius.density_aware_radius(
+            jnp.asarray(pts), jnp.ones(3000, bool),
+            jnp.asarray(kpts), jnp.ones(200, bool),
+            thresholds=(5.0, 2.0, 0.5),
+        )
+        radii = np.asarray(radii)
+        # radii decrease with threshold and match the numpy quantile
+        assert radii[0] > radii[1] > radii[2] > 0
+        d = np.sqrt(((kpts[:, None] - pts[None]) ** 2).sum(-1)).ravel()
+        for r, th in zip(radii, (5.0, 2.0, 0.5)):
+            frac = (d < r).mean() * 100
+            assert abs(frac - th) < 0.35, (r, frac, th)
+
+    def test_respects_mask(self, rng):
+        pts = rng.randn(1000, 3).astype(np.float32)
+        pts_far = pts.copy()
+        pts_far[500:] *= 100  # masked-out far points must not matter
+        mask = np.concatenate([np.ones(500, bool), np.zeros(500, bool)])
+        r_masked = radius.density_aware_radius(
+            jnp.asarray(pts_far), jnp.asarray(mask),
+            jnp.asarray(pts[:100]), jnp.ones(100, bool), thresholds=(5.0,),
+        )
+        # reference denominator counts *valid* pairs only in our version:
+        r_clean = radius.density_aware_radius(
+            jnp.asarray(pts[:500]), jnp.ones(500, bool),
+            jnp.asarray(pts[:100]), jnp.ones(100, bool), thresholds=(5.0,),
+        )
+        np.testing.assert_allclose(np.asarray(r_masked), np.asarray(r_clean), atol=0.011)
