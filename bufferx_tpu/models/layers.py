@@ -1,0 +1,90 @@
+"""Shared neural-net building blocks: cylindrical padding + conv stacks.
+
+The descriptor nets operate on cylindrical feature maps whose azimuth axis
+is periodic: convolutions wrap around azimuth and zero-pad elevation,
+reproducing ``pad_image`` / ``pad_image_3d``
+(``/root/reference/utils/common.py:265-310``) with ``jnp.pad`` wrap/zero
+modes. Everything is channel-last ([..., ele, azi, C]) so XLA lowers convs
+directly onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+__all__ = ["pad_cyl_2d", "pad_cyl_3d", "ConvBNRelu", "CylindricalConvNet"]
+
+
+def pad_cyl_2d(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """x: [K, ele, azi, C]; wrap azimuth, zero-pad elevation for odd k."""
+    p = (k - 1) // 2
+    if p == 0:
+        return x
+    x = jnp.pad(x, ((0, 0), (0, 0), (p, p), (0, 0)), mode="wrap")
+    return jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0)))
+
+
+def pad_cyl_3d(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """x: [K, rad, ele, azi, C]; wrap azimuth + zero elevation; radial axis
+    unpadded (the reference's conv3d collapses rad 3 -> 1)."""
+    p = (k - 1) // 2
+    if p == 0:
+        return x
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (p, p), (0, 0)), mode="wrap")
+    return jnp.pad(x, ((0, 0), (0, 0), (p, p), (0, 0), (0, 0)))
+
+
+class ConvBNRelu(nn.Module):
+    """VALID conv + optional BatchNorm(affine-free) + optional ReLU."""
+
+    features: int
+    kernel: Sequence[int]
+    use_bn: bool = True
+    use_relu: bool = True
+    bn_affine: bool = False
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, tuple(self.kernel), padding="VALID")(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                use_bias=self.bn_affine,
+                use_scale=self.bn_affine,
+                axis_name=self.bn_axis_name if train else None,
+                momentum=0.9,
+            )(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class CylindricalConvNet(nn.Module):
+    """The descriptor backbone (reference ``Cylindrical_Net``,
+    ``models/patchnet.py:68-84``): one 3x3x3 conv collapsing the radial axis,
+    then seven 3x3 cylindrical convs, 32-channel affine-free output.
+
+    Input  [K, rad=3, ele, azi, C_in]; output ([K, ele, azi, 32], mid).
+    """
+
+    dim: int = 32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ax = self.bn_axis_name
+        x = pad_cyl_3d(x, 3)
+        x = ConvBNRelu(64, (3, 3, 3), bn_axis_name=ax)(x, train)
+        x = jnp.squeeze(x, axis=1)                    # rad 3 -> 1, drop it
+        mid = x
+        for feats in (64, 128, 128, 64, 64):
+            x = ConvBNRelu(feats, (3, 3), bn_axis_name=ax)(pad_cyl_2d(x, 3), train)
+        x = ConvBNRelu(32, (3, 3), bn_axis_name=ax)(pad_cyl_2d(x, 3), train)
+        x = ConvBNRelu(self.dim, (3, 3), use_bn=False, use_relu=False)(
+            pad_cyl_2d(x, 3), train
+        )
+        return x, mid

@@ -1,0 +1,60 @@
+"""Mini-SpinNet patch embedder (flax).
+
+The neural half of the reference's ``MiniSpinNet``
+(``/root/reference/models/patch_embedder.py:16-90``): the geometric half
+(patch extraction, LRF alignment, spatial point transformer) lives in
+:mod:`bufferx_tpu.geometry` as pure functions; this module consumes the SPT
+output grid and produces the 32-D invariant descriptor plus the equivariant
+cylindrical map.
+
+Input:  inv_patches [K, G, ns, 3], G = rad_n*ele_n*azi_n (SPT output).
+Output: dict with
+  - ``desc``: [K, 32] L2-normalized invariant descriptors,
+  - ``equi``: [K, 32, ele_n, azi_n] L2-normalized (over channel)
+    equivariant maps — reference layout [B, C, K, L].
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from bufferx_tpu.models.layers import ConvBNRelu, CylindricalConvNet
+
+__all__ = ["MiniSpinNet"]
+
+
+class MiniSpinNet(nn.Module):
+    rad_n: int = 3
+    ele_n: int = 7
+    azi_n: int = 20
+    dim: int = 32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, inv_patches: jnp.ndarray, train: bool = False):
+        ax = self.bn_axis_name
+        k, g, ns, _ = inv_patches.shape
+        assert g == self.rad_n * self.ele_n * self.azi_n
+
+        # point MLP: 1x1 conv 3->16 + BN(affine) + relu, max-pool over samples
+        x = ConvBNRelu(16, (1, 1), bn_affine=True, bn_axis_name=ax)(
+            inv_patches, train
+        )                                                   # [K, G, ns, 16]
+        x = jnp.max(x, axis=2)                              # [K, G, 16]
+        x = x.reshape(k, self.rad_n, self.ele_n, self.azi_n, 16)
+
+        x, _mid = CylindricalConvNet(dim=self.dim, bn_axis_name=ax)(x, train)
+        # x: [K, ele, azi, 32]
+
+        # attention pooling (reference pool_layer: 32->16->1, BN affine)
+        w = ConvBNRelu(16, (1, 1), bn_affine=True, bn_axis_name=ax)(x, train)
+        w = ConvBNRelu(1, (1, 1), bn_affine=True, bn_axis_name=ax)(w, train)
+        f = jnp.mean(x * w, axis=(1, 2))                    # [K, 32]
+        f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+
+        equi = x / jnp.maximum(
+            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12
+        )
+        equi = jnp.transpose(equi, (0, 3, 1, 2))            # [K, C, ele, azi]
+        return {"desc": f, "equi": equi}

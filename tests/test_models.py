@@ -1,0 +1,93 @@
+"""Model-layer tests: shapes, equivariance properties, parameter counts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bufferx_tpu.models import CostVolume, MiniSpinNet, equi_match_scores
+
+RAD, ELE, AZI = 3, 7, 20
+G = RAD * ELE * AZI
+
+
+def init_spinnet(key, k=4, ns=10):
+    model = MiniSpinNet(rad_n=RAD, ele_n=ELE, azi_n=AZI)
+    x = jnp.zeros((k, G, ns, 3))
+    variables = model.init(key, x, train=False)
+    return model, variables
+
+
+class TestMiniSpinNet:
+    def test_shapes_and_norms(self, rng):
+        model, variables = init_spinnet(jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.randn(4, G, 10, 3).astype(np.float32) * 0.3)
+        out = model.apply(variables, x, train=False)
+        assert out["desc"].shape == (4, 32)
+        assert out["equi"].shape == (4, 32, ELE, AZI)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(out["desc"]), axis=-1), 1.0, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(out["equi"]), axis=1), 1.0, atol=1e-4
+        )
+
+    def test_param_count_sub_million(self):
+        _, variables = init_spinnet(jax.random.PRNGKey(0))
+        n = sum(p.size for p in jax.tree.leaves(variables["params"]))
+        assert n < 1_000_000, n  # reference logs a sub-1M model
+
+    def test_train_mode_updates_batch_stats(self, rng):
+        model, variables = init_spinnet(jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.randn(4, G, 10, 3).astype(np.float32))
+        out, mutated = model.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        assert "batch_stats" in mutated
+        changed = jax.tree.map(
+            lambda a, b: np.abs(np.asarray(a) - np.asarray(b)).max(),
+            variables["batch_stats"],
+            mutated["batch_stats"],
+        )
+        assert max(jax.tree.leaves(changed)) > 0
+
+
+class TestEquiMatch:
+    def test_self_correlation_peaks_at_zero_shift(self, rng):
+        des = jnp.asarray(rng.randn(3, 32, ELE, AZI).astype(np.float32))
+        des = des / jnp.linalg.norm(des, axis=1, keepdims=True)
+        scores = equi_match_scores(des, des, AZI)
+        assert scores.shape == (3, AZI)
+        np.testing.assert_array_equal(np.argmax(np.asarray(scores), -1), 0)
+
+    def test_rolled_input_shifts_peak(self, rng):
+        des = jnp.asarray(rng.randn(2, 32, ELE, AZI).astype(np.float32))
+        shift = 5
+        # des2 = des1 rolled by `shift` along azimuth: peak moves to `shift`
+        des2 = jnp.roll(des, shift, axis=-1)
+        scores = equi_match_scores(des, des2, AZI)
+        np.testing.assert_array_equal(np.argmax(np.asarray(scores), -1), shift)
+
+
+class TestCostVolume:
+    def test_output_range_and_shape(self, rng):
+        model = CostVolume(azi_n=AZI)
+        d1 = jnp.asarray(rng.randn(6, 32, ELE - 2, AZI).astype(np.float32))
+        d2 = jnp.asarray(rng.randn(6, 32, ELE - 2, AZI).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), d1, d2, train=False)
+        ind = model.apply(variables, d1, d2, train=False)
+        assert ind.shape == (6,)
+        assert np.all(np.asarray(ind) >= 0) and np.all(np.asarray(ind) < AZI)
+
+    def test_grad_flows(self, rng):
+        model = CostVolume(azi_n=AZI)
+        d1 = jnp.asarray(rng.randn(2, 32, ELE - 2, AZI).astype(np.float32))
+        d2 = jnp.asarray(rng.randn(2, 32, ELE - 2, AZI).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), d1, d2, train=False)
+
+        def loss(params):
+            ind = model.apply({**variables, "params": params}, d1, d2, train=False)
+            return jnp.sum((ind - 3.0) ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        total = sum(np.abs(np.asarray(x)).sum() for x in jax.tree.leaves(g))
+        assert total > 0
