@@ -1,0 +1,222 @@
+"""Evaluation driver: the TPU counterpart of ``/root/reference/test.py``.
+
+Consumes an iterable of pair samples (the §2.5 dict contract from the data
+layer), runs the jitted registration pipeline per pair — or in vmapped
+batches for throughput — and reproduces the reference's aggregate metrics,
+timing protocol (first ``WARMUP`` frames excluded, ``test.py:24``), and CSV
+artifacts.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bufferx_tpu.config import Config
+from bufferx_tpu.core import se3
+from bufferx_tpu.pipeline.registration import (
+    PipelineStatics,
+    prepare_cloud,
+    register_pair_jit,
+)
+from bufferx_tpu.utils.result_io import (
+    write_per_sample_csv,
+    write_summary_csv,
+)
+from bufferx_tpu.utils.timers import AverageMeter, DeviceTimer, Timer
+
+__all__ = ["evaluate_pairs", "evaluate_pairs_batched", "WARMUP"]
+
+WARMUP = 5  # frames excluded from timing stats (reference test.py:24)
+
+
+def _meters(names):
+    return {n: AverageMeter() for n in names}
+
+
+def evaluate_pairs(
+    cfg: Config,
+    pairs: Iterable[dict],
+    params: Any,
+    csv_path: str | None = None,
+    summary_csv_path: str | None = None,
+    log=None,
+) -> dict:
+    """Sequential per-pair evaluation with the reference timing protocol.
+
+    Each element of ``pairs``: dict with ``src_points`` [N,3], ``tgt_points``
+    [M,3] (numpy, already voxel-downsampled by the loader), ``relt_pose``
+    [4,4], ``src_id``, ``tgt_id``, ``is_aligned_to_global_z`` (bool) and
+    optionally ``dataset_name``.
+    """
+    statics = PipelineStatics.from_config(cfg)
+    meters = _meters(
+        ["rte", "rre", "success", "num_inliers", "num_mutual",
+         "num_consensus", "scales_used", "data_time", "model_time"]
+    )
+    rows = []
+    rte_succ, rre_succ = AverageMeter(), AverageMeter()
+    data_timer = Timer()
+
+    key = jax.random.PRNGKey(cfg.data.manual_seed)
+    for i, sample in enumerate(pairs):
+        data_timer.tic()
+        src = prepare_cloud(sample["src_points"], cfg, seed=2 * i)
+        tgt = prepare_cloud(sample["tgt_points"], cfg, seed=2 * i + 1)
+        aligned = jnp.asarray(bool(sample.get(
+            "is_aligned_to_global_z", cfg.patch.is_aligned_to_global_z
+        )))
+        data_timer.toc()
+
+        key, sub = jax.random.split(key)
+        with DeviceTimer() as t:
+            res = register_pair_jit(params, statics, src, tgt, aligned, sub)
+            t.block_on(res)
+
+        T_gt = jnp.asarray(np.asarray(sample["relt_pose"], np.float32))
+        rte = float(se3.compute_rte(res.pose, T_gt))
+        rre = float(se3.compute_rre(res.pose, T_gt))
+        success = rte < cfg.test.rte_thresh and rre < cfg.test.rre_thresh
+
+        include_timing = i >= WARMUP
+        if include_timing:
+            meters["data_time"].update(data_timer.diff)
+            meters["model_time"].update(t.diff)
+        meters["rte"].update(rte)
+        meters["rre"].update(rre)
+        meters["success"].update(float(success))
+        meters["num_inliers"].update(int(res.num_inliers))
+        meters["num_mutual"].update(int(res.num_mutual))
+        meters["num_consensus"].update(int(res.num_consensus))
+        meters["scales_used"].update(int(res.scales_used))
+        if success:
+            rte_succ.update(rte)
+            rre_succ.update(rre)
+
+        rows.append(
+            dict(
+                src_id=sample.get("src_id", i),
+                tgt_id=sample.get("tgt_id", i),
+                success=int(success),
+                rte=rte,
+                rre=rre,
+                num_inliers=int(res.num_inliers),
+                num_mutual_inliers=int(res.num_mutual),
+                num_inlier_ind=int(res.num_consensus),
+                scales_used=int(res.scales_used),
+                data_time=data_timer.diff,
+                model_time=t.diff,
+                desc_time=0.0,
+                pose_time=0.0,
+                pose_optim_time=0.0,
+                dataset=sample.get("dataset_name", cfg.data.dataset),
+                pose=np.asarray(res.pose),
+            )
+        )
+        if log and (i + 1) % 10 == 0:
+            log(
+                f"[{i + 1}] recall {meters['success'].avg * 100:.1f}% "
+                f"rte {meters['rte'].avg:.3f} rre {meters['rre'].avg:.2f} "
+                f"model {meters['model_time'].avg * 1000:.0f}ms"
+            )
+
+    summary = dict(
+        dataset=cfg.data.dataset,
+        num_pairs=meters["success"].count,
+        recall=meters["success"].avg,
+        rte_mean=rte_succ.avg,
+        rte_std=rte_succ.std,
+        rre_mean=rre_succ.avg,
+        rre_std=rre_succ.std,
+        num_inliers_mean=meters["num_inliers"].avg,
+        num_mutual_mean=meters["num_mutual"].avg,
+        scales_used_mean=meters["scales_used"].avg,
+        data_time_mean=meters["data_time"].avg,
+        model_time_mean=meters["model_time"].avg,
+        model_time_std=meters["model_time"].std,
+    )
+    if csv_path:
+        write_per_sample_csv(csv_path, rows)
+    if summary_csv_path:
+        write_summary_csv(summary_csv_path, summary)
+    summary["rows"] = rows
+    return summary
+
+
+def evaluate_pairs_batched(
+    cfg: Config,
+    samples: Sequence[dict],
+    params: Any,
+    batch_size: int = 8,
+) -> dict:
+    """Throughput-oriented evaluation: vmap over fixed-size pair batches.
+
+    Returns the summary dict plus ``pairs_per_second`` (excluding the first
+    batch, which pays compilation).
+    """
+    statics = PipelineStatics.from_config(cfg)
+
+    batched = jax.jit(
+        jax.vmap(
+            lambda s, t, a, k: register_pair_jit(params, statics, s, t, a, k)
+        )
+    )
+
+    n = len(samples)
+    n_batches = (n + batch_size - 1) // batch_size
+    all_rte, all_rre = [], []
+    throughput_time = 0.0
+    timed_pairs = 0
+
+    key = jax.random.PRNGKey(cfg.data.manual_seed)
+    for b in range(n_batches):
+        chunk = [samples[min(b * batch_size + j, n - 1)] for j in range(batch_size)]
+        src_b = jax.tree.map(
+            lambda *x: jnp.stack(x),
+            *[prepare_cloud(s["src_points"], cfg, seed=b * batch_size + j)
+              for j, s in enumerate(chunk)],
+        )
+        tgt_b = jax.tree.map(
+            lambda *x: jnp.stack(x),
+            *[prepare_cloud(s["tgt_points"], cfg, seed=b * batch_size + j + 1)
+              for j, s in enumerate(chunk)],
+        )
+        aligned = jnp.asarray(
+            [bool(s.get("is_aligned_to_global_z",
+                        cfg.patch.is_aligned_to_global_z)) for s in chunk]
+        )
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, batch_size)
+
+        with DeviceTimer() as t:
+            res = batched(src_b, tgt_b, aligned, keys)
+            t.block_on(res)
+        if b > 0:  # first batch pays compile
+            throughput_time += t.diff
+            timed_pairs += batch_size
+
+        gts = jnp.stack(
+            [jnp.asarray(np.asarray(s["relt_pose"], np.float32)) for s in chunk]
+        )
+        rte = np.asarray(se3.compute_rte(res.pose, gts))
+        rre = np.asarray(se3.compute_rre(res.pose, gts))
+        real = min(batch_size, n - b * batch_size)
+        all_rte.extend(rte[:real].tolist())
+        all_rre.extend(rre[:real].tolist())
+
+    all_rte = np.asarray(all_rte)
+    all_rre = np.asarray(all_rre)
+    success = (all_rte < cfg.test.rte_thresh) & (all_rre < cfg.test.rre_thresh)
+    return dict(
+        dataset=cfg.data.dataset,
+        num_pairs=int(len(all_rte)),
+        recall=float(success.mean()),
+        rte_mean=float(all_rte[success].mean()) if success.any() else float("nan"),
+        rre_mean=float(all_rre[success].mean()) if success.any() else float("nan"),
+        pairs_per_second=(timed_pairs / throughput_time)
+        if throughput_time > 0
+        else float("nan"),
+    )

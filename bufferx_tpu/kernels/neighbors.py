@@ -90,9 +90,11 @@ def mutual_nearest(
 ):
     """Mutual 1-NN correspondences, fixed size.
 
-    Returns (nn_ab [M] int32, mutual [M] bool): slot i corresponds
-    (a_i, b_{nn_ab[i]}) and ``mutual[i]`` says the relation is reciprocal
-    (and both endpoints valid). Mirrors ``BufferX.mutual_matching``
+    Returns (nn_ab [M] int32, mutual [M] bool, nn_d2 [M] f32): slot i
+    corresponds (a_i, b_{nn_ab[i]}), ``mutual[i]`` says the relation is
+    reciprocal (and both endpoints valid), and ``nn_d2`` is the squared
+    descriptor distance of the match (useful for confidence-ranking the
+    solver's sampling pool). Mirrors ``BufferX.mutual_matching``
     (``models/BUFFERX.py:469-496``) without dynamic compaction.
     """
     d = masked_sqdist(desc_a, desc_b, mask_a, mask_b)
@@ -100,7 +102,8 @@ def mutual_nearest(
     nn_ba = jnp.argmin(d, axis=-2).astype(jnp.int32)   # [N]
     m = nn_ba[nn_ab] == jnp.arange(desc_a.shape[0], dtype=jnp.int32)
     mutual = m & mask_a & mask_b[nn_ab]
-    return nn_ab, mutual
+    nn_d2 = jnp.take_along_axis(d, nn_ab[:, None], axis=-1)[:, 0]
+    return nn_ab, mutual, nn_d2
 
 
 def _random_topk(scores: jnp.ndarray, k: int, use_approx: bool):

@@ -1,0 +1,133 @@
+"""Eval-layer tests: metrics protocol, harness on synthetic pairs."""
+
+import numpy as np
+import pytest
+
+from bufferx_tpu.eval import metrics
+from bufferx_tpu.utils.result_io import (
+    format_summary_table,
+    write_per_sample_csv,
+)
+from bufferx_tpu.utils.timers import AverageMeter
+
+
+class TestMat2Quat:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_roundtrip(self, seed):
+        rs = np.random.RandomState(seed)
+        axis = rs.randn(3)
+        axis /= np.linalg.norm(axis)
+        ang = rs.uniform(0, np.pi)
+        K = np.array(
+            [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+        )
+        R = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * K @ K
+        q = metrics.mat2quat(R)
+        # rebuild R from q
+        w, x, y, z = q
+        R2 = np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ]
+        )
+        np.testing.assert_allclose(R2, R, atol=1e-6)
+
+
+class TestTransformationError:
+    def test_identity_is_zero(self):
+        info = np.eye(6) * 10.0
+        assert metrics.transformation_error(np.eye(4), info) == 0.0
+
+    def test_weighted_by_info(self):
+        T = np.eye(4)
+        T[0, 3] = 0.1
+        info = np.eye(6)
+        e1 = metrics.transformation_error(T, info)
+        info2 = np.eye(6)
+        info2[0, 0] = 4.0  # info[0,0] also normalizes, so scale others
+        info2[1, 1] = 4.0
+        e2 = metrics.transformation_error(T, info2)
+        assert e1 > 0
+        np.testing.assert_allclose(e1, 0.1**2)
+        np.testing.assert_allclose(e2, 0.1**2)  # err in dim 0 scales with info00
+
+
+class TestRmseProtocol:
+    def test_perfect_estimates(self):
+        rs = np.random.RandomState(0)
+        num_fragment = 10
+        # slot 0 must be a consecutive pair: the protocol's `gt_mask > 0`
+        # check (reference utils/tools.py:117) can never match gt index 0 —
+        # real gt.log files always list consecutive pairs first.
+        gt_pairs, gts = [[0, 1]], [np.eye(4)]
+        for i in range(num_fragment):
+            for j in range(i + 2, min(i + 5, num_fragment)):
+                gt_pairs.append([i, j])
+                T = np.eye(4)
+                T[:3, 3] = rs.randn(3)
+                gts.append(T)
+        gt_pairs = np.asarray(gt_pairs)
+        gts = np.stack(gts)
+        info = np.tile(np.eye(6)[None] * 100, (len(gts), 1, 1))
+        recall, recall_gt, flags, errors = metrics.evaluate_registration_rmse(
+            num_fragment, gts.copy(), gt_pairs.copy(), gt_pairs, gts, info
+        )
+        assert recall == 1.0
+
+    def test_bad_estimates_fail(self):
+        num_fragment = 6
+        gt_pairs = np.asarray([[0, 1], [0, 3], [1, 4]])  # slot 0 consecutive
+        gts = np.stack([np.eye(4)] * 3)
+        bad = np.stack([np.eye(4)] * 3)
+        bad[:, 0, 3] = 5.0  # 5 m error
+        info = np.tile(np.eye(6)[None], (3, 1, 1))
+        recall, _, flags, _ = metrics.evaluate_registration_rmse(
+            num_fragment, bad, gt_pairs.copy(), gt_pairs, gts, info
+        )
+        assert recall == 0.0
+        assert flags == [2, 1, 1]  # consecutive pair excluded, others fail
+
+    def test_consecutive_pairs_excluded(self):
+        num_fragment = 5
+        gt_pairs = np.asarray([[0, 1], [1, 2]])  # all consecutive
+        gts = np.stack([np.eye(4)] * 2)
+        info = np.tile(np.eye(6)[None], (2, 1, 1))
+        recall, recall_gt, flags, _ = metrics.evaluate_registration_rmse(
+            num_fragment, gts.copy(), gt_pairs.copy(), gt_pairs, gts, info
+        )
+        assert flags == [2, 2]  # not evaluated
+
+
+class TestPairwiseRecall:
+    def test_thresholds(self):
+        rte = np.array([0.1, 0.5, 0.2])
+        rre = np.array([1.0, 1.0, 20.0])
+        success, recall = metrics.pairwise_recall(rte, rre, 0.3, 15.0)
+        np.testing.assert_array_equal(success, [True, False, False])
+        assert abs(recall - 1 / 3) < 1e-9
+
+
+class TestResultIO:
+    def test_per_sample_csv(self, tmp_path):
+        rows = [
+            dict(src_id="a", tgt_id="b", success=1, rte=0.01, rre=0.5,
+                 num_inliers=10, num_mutual_inliers=20, num_inlier_ind=5,
+                 scales_used=1, data_time=0.1, model_time=0.2, desc_time=0.0,
+                 pose_time=0.0, pose_optim_time=0.0, dataset="test")
+        ]
+        p = write_per_sample_csv(str(tmp_path / "out.csv"), rows)
+        content = open(p).read()
+        assert "src_id" in content and "a,b,1" in content
+
+    def test_summary_table(self):
+        t = format_summary_table([dict(dataset="x", recall=0.95)])
+        assert "dataset" in t and "0.9500" in t
+
+    def test_average_meter_stats(self):
+        m = AverageMeter()
+        for v in [1.0, 2.0, 3.0]:
+            m.update(v)
+        assert m.avg == 2.0
+        np.testing.assert_allclose(m.std, np.std([1, 2, 3]))

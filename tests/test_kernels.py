@@ -105,7 +105,7 @@ class TestNeighbors:
         a = rng.randn(40, 16).astype(np.float32)
         perm = rng.permutation(40)
         b = a[perm]
-        nn, mutual = neighbors.mutual_nearest(
+        nn, mutual, _d2 = neighbors.mutual_nearest(
             jnp.asarray(a), jnp.asarray(b),
             jnp.ones(40, bool), jnp.ones(40, bool),
         )
@@ -117,7 +117,7 @@ class TestNeighbors:
         b = a.copy()
         mask_a = np.ones(20, bool)
         mask_a[15:] = False
-        nn, mutual = neighbors.mutual_nearest(
+        nn, mutual, _d2 = neighbors.mutual_nearest(
             jnp.asarray(a), jnp.asarray(b), jnp.asarray(mask_a), jnp.ones(20, bool)
         )
         assert not np.any(np.asarray(mutual)[15:])

@@ -1,0 +1,138 @@
+"""End-to-end pipeline integration tests on synthetic pairs.
+
+Known SE(3) + identical overlap geometry: even with untrained descriptor
+weights, corresponding patches are near-identical, mutual matching works,
+and the solver must recover the pose (SURVEY §4: synthetic-pair recall 1.0).
+Small capacities keep CPU runtime tolerable.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bufferx_tpu.config import make_cfg
+from bufferx_tpu.core import se3
+from bufferx_tpu.data.modelnet import synthetic_pair_full_overlap
+from bufferx_tpu.pipeline.registration import (
+    PipelineStatics,
+    init_params,
+    prepare_cloud,
+    register_pair,
+    register_pair_jit,
+)
+
+
+def small_cfg():
+    cfg = make_cfg("ModelNet40")
+    return cfg.override(
+        capacity=dict(
+            max_points=2048,
+            num_ransac_hypotheses=1024,
+            ransac_chunk=256,
+            sphere_query_chunk=64,
+        ),
+        patch=dict(
+            num_fps=192,
+            num_points_radius_estimate=256,
+            num_points_per_patch=128,
+            num_scales=2,
+            search_radius_thresholds=(5.0, 2.0),
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def cfg_params():
+    cfg = small_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+class TestRegisterPair:
+    def test_recovers_known_pose(self, cfg_params):
+        cfg, params = cfg_params
+        rs = np.random.RandomState(0)
+        src_pts, tgt_pts, T_gt = synthetic_pair_full_overlap(rs, num_points=3000)
+        src = prepare_cloud(src_pts, cfg, seed=1)
+        tgt = prepare_cloud(tgt_pts, cfg, seed=1)
+        res = register_pair(cfg, src, tgt, jax.random.PRNGKey(0), params=params)
+        rte = float(se3.compute_rte(res.pose, jnp.asarray(T_gt)))
+        rre = float(se3.compute_rre(res.pose, jnp.asarray(T_gt)))
+        assert bool(res.valid)
+        assert rte < cfg.test.rte_thresh, (rte, rre)
+        assert rre < cfg.test.rre_thresh, (rte, rre)
+
+    def test_recall_over_pairs(self, cfg_params):
+        cfg, params = cfg_params
+        statics = PipelineStatics.from_config(cfg)
+        succ = 0
+        n_pairs = 4
+        for i in range(n_pairs):
+            rs = np.random.RandomState(100 + i)
+            src_pts, tgt_pts, T_gt = synthetic_pair_full_overlap(rs, num_points=3000)
+            src = prepare_cloud(src_pts, cfg, seed=i)
+            tgt = prepare_cloud(tgt_pts, cfg, seed=i)
+            res = register_pair_jit(
+                params, statics, src, tgt, jnp.asarray(False),
+                jax.random.PRNGKey(i),
+            )
+            rte = float(se3.compute_rte(res.pose, jnp.asarray(T_gt)))
+            rre = float(se3.compute_rre(res.pose, jnp.asarray(T_gt)))
+            succ += int(rte < cfg.test.rte_thresh and rre < cfg.test.rre_thresh)
+        assert succ == n_pairs, f"recall {succ}/{n_pairs}"
+
+    def test_empty_cloud_returns_invalid(self, cfg_params):
+        cfg, params = cfg_params
+        rs = np.random.RandomState(1)
+        src_pts, tgt_pts, _ = synthetic_pair_full_overlap(rs, num_points=2000)
+        src = prepare_cloud(src_pts, cfg, seed=0)
+        empty = prepare_cloud(np.zeros((0, 3), np.float32), cfg, seed=0)
+        res = register_pair(cfg, src, empty, jax.random.PRNGKey(0), params=params)
+        assert not bool(res.valid)
+        np.testing.assert_allclose(np.asarray(res.pose), np.eye(4), atol=1e-6)
+        assert np.isfinite(np.asarray(res.pose)).all()
+
+    def test_vmap_batch_of_pairs(self, cfg_params):
+        cfg, params = cfg_params
+        statics = PipelineStatics.from_config(cfg)
+        clouds = []
+        gts = []
+        for i in range(2):
+            rs = np.random.RandomState(200 + i)
+            s, t, T = synthetic_pair_full_overlap(rs, num_points=2500)
+            clouds.append((prepare_cloud(s, cfg, seed=i), prepare_cloud(t, cfg, seed=i)))
+            gts.append(T)
+        src_b = jax.tree.map(lambda *x: jnp.stack(x), *[c[0] for c in clouds])
+        tgt_b = jax.tree.map(lambda *x: jnp.stack(x), *[c[1] for c in clouds])
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        aligned = jnp.zeros(2, bool)
+
+        batched = jax.vmap(
+            lambda s, t, a, k: register_pair_jit(params, statics, s, t, a, k)
+        )
+        res = batched(src_b, tgt_b, aligned, keys)
+        assert res.pose.shape == (2, 4, 4)
+        for i in range(2):
+            rte = float(se3.compute_rte(res.pose[i], jnp.asarray(gts[i])))
+            assert rte < cfg.test.rte_thresh
+
+    def test_early_exit_masked_variant(self, cfg_params):
+        cfg, params = cfg_params
+        cfg_ee = cfg.override(
+            match=dict(enable_early_exit=True, early_exit_min_inliers=5)
+        )
+        statics = PipelineStatics.from_config(cfg_ee)
+        rs = np.random.RandomState(4)
+        src_pts, tgt_pts, T_gt = synthetic_pair_full_overlap(rs, num_points=2500)
+        src = prepare_cloud(src_pts, cfg_ee, seed=3)
+        tgt = prepare_cloud(tgt_pts, cfg_ee, seed=3)
+        res = register_pair_jit(
+            params, statics, src, tgt, jnp.asarray(False), jax.random.PRNGKey(0)
+        )
+        # confident pair exits at scale 1
+        assert int(res.scales_used) in (1, 2)
+        rte = float(se3.compute_rte(res.pose, jnp.asarray(T_gt)))
+        assert rte < cfg.test.rte_thresh
