@@ -1,0 +1,116 @@
+"""Benchmark: end-to-end zero-shot registration throughput on one chip.
+
+Runs the full production-scale pipeline (30k-point clouds, 1500 keypoints,
+3 scales, 8192-hypothesis RANSAC — the reference's benchmark configuration)
+on procedurally generated scan pairs, sequentially (batch = 1, matching the
+reference protocol at ``/root/reference/test.py:132-146``), and reports
+scan-pairs/s per chip.
+
+Baseline: the reference (PyTorch + CUDA/C++, single GPU) reports its timing
+protocol but no in-repo numbers (BASELINE.md); published BUFFER-X runtimes
+are ~0.5 s/pair on a desktop GPU for full multi-scale inference, i.e.
+~2 pairs/s — used as the vs_baseline denominator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PAIRS_PER_S = 2.0
+NUM_WARMUP = 2
+NUM_TIMED = 8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from bufferx_tpu.config import make_cfg
+    from bufferx_tpu.core import se3
+    from bufferx_tpu.data.modelnet import synthetic_pair_full_overlap
+    from bufferx_tpu.pipeline.registration import (
+        PipelineStatics,
+        init_params,
+        prepare_cloud,
+        register_pair_jit,
+    )
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    # production-scale config (reference benchmark shapes)
+    cfg = make_cfg("ModelNet40")
+    statics = PipelineStatics.from_config(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    log(f"statics: {statics}")
+
+    pairs = []
+    for i in range(NUM_WARMUP + NUM_TIMED):
+        rs = np.random.RandomState(i)
+        s, t, T = synthetic_pair_full_overlap(rs, num_points=24000)
+        pairs.append(
+            (
+                prepare_cloud(s, cfg, seed=i),
+                prepare_cloud(t, cfg, seed=i),
+                T,
+            )
+        )
+
+    key = jax.random.PRNGKey(0)
+    aligned = jnp.asarray(False)
+
+    # warmup (includes compile)
+    t0 = time.perf_counter()
+    for i in range(NUM_WARMUP):
+        key, sub = jax.random.split(key)
+        res = register_pair_jit(
+            params, statics, pairs[i][0], pairs[i][1], aligned, sub
+        )
+        jax.block_until_ready(res)
+    log(f"warmup ({NUM_WARMUP} pairs incl. compile): "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    rtes = []
+    t0 = time.perf_counter()
+    for i in range(NUM_WARMUP, NUM_WARMUP + NUM_TIMED):
+        key, sub = jax.random.split(key)
+        res = register_pair_jit(
+            params, statics, pairs[i][0], pairs[i][1], aligned, sub
+        )
+        jax.block_until_ready(res)
+        rtes.append(
+            float(se3.compute_rte(res.pose, jnp.asarray(pairs[i][2])))
+        )
+    elapsed = time.perf_counter() - t0
+    pairs_per_s = NUM_TIMED / elapsed
+
+    log(f"timed: {NUM_TIMED} pairs in {elapsed:.2f}s -> "
+        f"{pairs_per_s:.3f} pairs/s ({elapsed / NUM_TIMED * 1000:.0f} ms/pair)")
+    log(f"sanity RTE (untrained weights, full-overlap pairs): "
+        f"median {np.median(rtes):.3f} m")
+
+    print(
+        json.dumps(
+            {
+                "metric": "scan_pairs_per_s_per_chip",
+                "value": round(pairs_per_s, 4),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -105,24 +105,36 @@ def axis_angle_to_rotation(axis_angle: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: axis-angle vector [..., 3] -> rotation matrix [..., 3, 3].
 
     Replaces the reference's kornia ``axis_angle_to_rotation_matrix``
-    (``models/BUFFERX.py:386``).
+    (``models/BUFFERX.py:386``). Formulated on the *unnormalized* axis with
+    Taylor-guarded sinc coefficients — smooth and autodiff-safe at the zero
+    rotation (the pose-graph layer differentiates through this at θ = 0,
+    where the normalized form produces NaN jacobians):
+
+        R = I + A(θ) K + B(θ) K²,  K = [w]ₓ,
+        A = sin(θ)/θ, B = (1 − cos θ)/θ².
     """
-    theta = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
-    safe = jnp.maximum(theta, 1e-12)
-    k = axis_angle / safe
-    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
-    zero = jnp.zeros_like(kx)
+    w = axis_angle
+    t2 = jnp.sum(w * w, axis=-1)[..., None, None]        # θ²
+    small = t2 < 1e-8
+    # max() gives the exact branch a θ² with zero gradient below the cutoff,
+    # so no NaN leaks through the unselected branch of the where.
+    t2c = jnp.maximum(t2, 1e-8)
+    t = jnp.sqrt(t2c)
+    A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t) / t)
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t)) / t2c)
+
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zero = jnp.zeros_like(wx)
     K = jnp.stack(
         [
-            jnp.stack([zero, -kz, ky], axis=-1),
-            jnp.stack([kz, zero, -kx], axis=-1),
-            jnp.stack([-ky, kx, zero], axis=-1),
+            jnp.stack([zero, -wz, wy], axis=-1),
+            jnp.stack([wz, zero, -wx], axis=-1),
+            jnp.stack([-wy, wx, zero], axis=-1),
         ],
         axis=-2,
     )
-    th = theta[..., None]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=axis_angle.dtype), K.shape)
-    return eye + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * (K @ K)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + A * K + B * (K @ K)
 
 
 def random_rotation(key, num_axis: int = 3, magnitude: float = 1.0) -> jnp.ndarray:

@@ -1,0 +1,120 @@
+"""Training batch assembly (host -> fixed-shape device batches).
+
+Implements the loader-side of the training contract (SURVEY §2.5): two
+downsampling levels (fds for patch extraction, sds for supervision
+keypoints), GT-correspondence sampling, randomized descriptor radius
+(``models/BUFFERX.py:175-198``), SE(3)/jitter augmentation
+(``dataset/threedmatch.py:104-107``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bufferx_tpu.config import Config
+from bufferx_tpu.data.modelnet import synthetic_pair
+from bufferx_tpu.kernels.voxel import voxel_downsample_np
+from bufferx_tpu.train.forward import sample_gt_correspondences
+
+__all__ = ["build_training_batch", "synthetic_training_stream", "random_des_r"]
+
+
+def _pad(xyz: np.ndarray, cap: int, rs: np.random.RandomState):
+    xyz = np.asarray(xyz, np.float32)
+    if len(xyz) > cap:
+        xyz = xyz[rs.choice(len(xyz), cap, replace=False)]
+    else:
+        xyz = xyz[rs.permutation(len(xyz))]
+    out = np.zeros((cap, 3), np.float32)
+    out[: len(xyz)] = xyz
+    mask = np.zeros(cap, bool)
+    mask[: len(xyz)] = True
+    return out, mask
+
+
+def random_des_r(cfg: Config, rs: np.random.RandomState) -> float:
+    """Randomized training radius (reference per-dataset rules)."""
+    center = cfg.patch.des_r
+    name = cfg.data.dataset
+    if name == "3DMatch":
+        lo, hi = center * 0.5, center * 1.5
+        std = (hi - lo) / 6.0
+        return float(np.round(np.clip(rs.normal(center, std), lo, hi), 2))
+    if name == "KITTI":
+        if center == 3.0:
+            return float(rs.choice([2.0, 2.5, 3.0, 3.5, 4.0]))
+        if center == 0.3:
+            return float(rs.choice([0.2, 0.25, 0.3, 0.35, 0.4]))
+    return float(center)
+
+
+def build_training_batch(
+    cfg: Config,
+    src_pts: np.ndarray,
+    tgt_pts: np.ndarray,
+    gt_pose: np.ndarray,
+    rs: np.random.RandomState,
+    key: jax.Array,
+) -> dict:
+    """Raw pair -> fixed-shape training batch dict.
+
+    fds = first downsample at ``cfg.data.downsample`` (+ jitter aug),
+    sds = second downsample at ``cfg.data.voxel_size_0`` (supervision kpts).
+    """
+    cap = cfg.capacity.max_points
+    noise = cfg.train.augmentation_noise
+
+    src_fds = voxel_downsample_np(src_pts, cfg.data.downsample)
+    tgt_fds = voxel_downsample_np(tgt_pts, cfg.data.downsample)
+    src_fds = src_fds + rs.randn(*src_fds.shape).astype(np.float32) * noise
+    tgt_fds = tgt_fds + rs.randn(*tgt_fds.shape).astype(np.float32) * noise
+
+    src_sds = voxel_downsample_np(src_fds, cfg.data.voxel_size_0)
+    tgt_sds = voxel_downsample_np(tgt_fds, cfg.data.voxel_size_0)
+
+    src_fds_p, src_fds_m = _pad(src_fds, cap, rs)
+    tgt_fds_p, tgt_fds_m = _pad(tgt_fds, cap, rs)
+    src_sds_p, src_sds_m = _pad(src_sds, cap, rs)
+    tgt_sds_p, tgt_sds_m = _pad(tgt_sds, cap, rs)
+
+    src_kpt, tgt_kpt, corr_valid = sample_gt_correspondences(
+        jnp.asarray(src_sds_p), jnp.asarray(src_sds_m),
+        jnp.asarray(tgt_sds_p), jnp.asarray(tgt_sds_m),
+        jnp.asarray(np.asarray(gt_pose, np.float32)),
+        jnp.float32(cfg.data.voxel_size_0),
+        key, cfg.train.pos_num,
+    )
+    return {
+        "src_fds": jnp.asarray(src_fds_p),
+        "src_fds_mask": jnp.asarray(src_fds_m),
+        "tgt_fds": jnp.asarray(tgt_fds_p),
+        "tgt_fds_mask": jnp.asarray(tgt_fds_m),
+        "src_kpt": src_kpt,
+        "tgt_kpt": tgt_kpt,
+        "corr_valid": corr_valid,
+        "gt_pose": jnp.asarray(np.asarray(gt_pose, np.float32)),
+        "des_r": jnp.float32(random_des_r(cfg, rs)),
+        "is_aligned": jnp.asarray(bool(cfg.patch.is_aligned_to_global_z)),
+    }
+
+
+def synthetic_training_stream(
+    cfg: Config,
+    num_batches: int,
+    seed: int = 0,
+    num_points: int = 6000,
+    overlap: float = 0.8,
+) -> Iterator[dict]:
+    """Procedural training pairs (no external data needed)."""
+    key = jax.random.PRNGKey(seed)
+    for i in range(num_batches):
+        rs = np.random.RandomState(seed * 10000 + i)
+        src, tgt, T = synthetic_pair(
+            rs, num_points=num_points, overlap=overlap, noise=0.001
+        )
+        key, sub = jax.random.split(key)
+        yield build_training_batch(cfg, src, tgt, T, rs, sub)

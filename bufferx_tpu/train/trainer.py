@@ -1,0 +1,250 @@
+"""Two-stage trainer (Desc then Pose) with staged checkpoint composition.
+
+The TPU counterpart of ``/root/reference/train.py`` + ``trainer.py``:
+
+- per-stage optimizer: Adam + weight decay, exponential LR decay every
+  ``scheduler_interval`` epochs (``train.py:51-55``);
+- the *other* stage's parameters are loaded and frozen
+  (``train.py:36-48``) — here simply passed as a separate frozen subtree;
+- gradient-finiteness guard: non-finite grads skip the update
+  (``trainer.py:146-151``) — branch-free ``where`` select inside the jitted
+  step;
+- per-epoch snapshots + best-on-validation checkpoint
+  (``trainer.py:70-77,222-226``), serialized with flax msgpack.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Iterable
+
+import flax.serialization
+import jax
+import jax.numpy as jnp
+import optax
+
+from bufferx_tpu.config import Config
+from bufferx_tpu.pipeline.registration import build_models
+from bufferx_tpu.train.forward import (
+    TrainStatics,
+    desc_stage_loss,
+    pose_stage_loss,
+)
+from bufferx_tpu.utils.timers import AverageMeter, Timer
+
+__all__ = ["make_optimizer", "make_train_step", "Trainer", "save_params",
+           "load_params", "compose_staged_params"]
+
+
+def make_optimizer(cfg: Config, stage: str, steps_per_epoch: int):
+    lr = optax.exponential_decay(
+        init_value=cfg.optim.lr(stage),
+        transition_steps=max(
+            cfg.optim.scheduler_interval(stage) * steps_per_epoch, 1
+        ),
+        decay_rate=cfg.optim.lr_decay,
+        staircase=True,
+    )
+    return optax.chain(
+        optax.add_decayed_weights(cfg.optim.weight_decay),
+        optax.adam(lr),
+    )
+
+
+def _finite_guard(updates, new_params, old_params):
+    flat = jax.tree.leaves(updates)
+    ok = jnp.all(
+        jnp.stack([jnp.all(jnp.isfinite(u)) for u in flat])
+    )
+    return jax.tree.map(
+        lambda n, o: jnp.where(ok, n, o), new_params, old_params
+    ), ok
+
+
+def make_train_step(cfg: Config, stage: str, optimizer) -> Callable:
+    """Returns jitted ``step(variables, opt_state, frozen, batch, key)``.
+
+    ``variables`` is the full flax variable dict of the trainable stage
+    ({'params', 'batch_stats'}); ``frozen`` is the other stage's variables
+    (ignored for Desc). Returns (variables, opt_state, metrics).
+    """
+    if stage not in ("Desc", "Pose"):
+        raise ValueError(stage)
+    desc_model, pose_model = build_models(cfg)
+    statics = TrainStatics.from_config(cfg)
+
+    @jax.jit
+    def step_desc(variables, opt_state, batch, key):
+        def loss_fn(p):
+            return desc_stage_loss(
+                {**variables, "params": p}, desc_model, statics, batch, key
+            )
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        updates, new_opt = optimizer.update(
+            grads, opt_state, variables["params"]
+        )
+        cand = optax.apply_updates(variables["params"], updates)
+        new_params, ok = _finite_guard(grads, cand, variables["params"])
+        new_vars = {
+            **variables,
+            "params": new_params,
+            "batch_stats": aux.pop("batch_stats"),
+        }
+        metrics = {k: v for k, v in aux.items()}
+        metrics["loss"] = loss
+        metrics["grads_finite"] = ok
+        return new_vars, new_opt, metrics
+
+    @jax.jit
+    def step_pose(variables, opt_state, frozen, batch, key):
+        def pose_loss(p):
+            return pose_stage_loss(
+                {**variables, "params": p}, frozen, desc_model, pose_model,
+                statics, batch, key,
+            )
+
+        (loss, aux), grads = jax.value_and_grad(pose_loss, has_aux=True)(
+            variables["params"]
+        )
+        updates, new_opt = optimizer.update(
+            grads, opt_state, variables["params"]
+        )
+        cand = optax.apply_updates(variables["params"], updates)
+        new_params, ok = _finite_guard(grads, cand, variables["params"])
+        new_vars = {
+            **variables,
+            "params": new_params,
+            "batch_stats": aux.pop("batch_stats"),
+        }
+        metrics = {k: v for k, v in aux.items()}
+        metrics["loss"] = loss
+        metrics["grads_finite"] = ok
+        return new_vars, new_opt, metrics
+
+    return step_desc if stage == "Desc" else step_pose
+
+
+def save_params(path: str, variables: Any) -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(variables))
+    return path
+
+
+def load_params(path: str, template: Any) -> Any:
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())
+
+
+def compose_staged_params(desc_path: str, pose_path: str, template: dict) -> dict:
+    """Merge per-stage checkpoints into the pipeline's param dict
+    (the reference's staged checkpoint merge, ``test.py:87-94``)."""
+    return {
+        "desc": load_params(desc_path, template["desc"]),
+        "pose": load_params(pose_path, template["pose"]),
+    }
+
+
+class Trainer:
+    """Host loop: epochs over a batch iterator, val-based best snapshot."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        stage: str,
+        variables: Any,
+        frozen: Any | None,
+        train_batches: Callable[[], Iterable[dict]],
+        val_batches: Callable[[], Iterable[dict]] | None = None,
+        steps_per_epoch: int = 100,
+        snapshot_dir: str = "snapshot/run",
+        log=print,
+    ):
+        self.cfg = cfg
+        self.stage = stage
+        self.variables = variables
+        self.frozen = frozen
+        self.train_batches = train_batches
+        self.val_batches = val_batches
+        self.snapshot_dir = snapshot_dir
+        self.log = log
+        self.optimizer = make_optimizer(cfg, stage, steps_per_epoch)
+        self.opt_state = self.optimizer.init(variables["params"])
+        self.step_fn = make_train_step(cfg, stage, self.optimizer)
+        self.key = jax.random.PRNGKey(cfg.data.manual_seed)
+        self.best_loss = float("inf")
+
+    def _step(self, batch):
+        self.key, sub = jax.random.split(self.key)
+        if self.stage == "Desc":
+            self.variables, self.opt_state, m = self.step_fn(
+                self.variables, self.opt_state, batch, sub
+            )
+        else:
+            self.variables, self.opt_state, m = self.step_fn(
+                self.variables, self.opt_state, self.frozen, batch, sub
+            )
+        return m
+
+    def train(self, epochs: int | None = None):
+        epochs = epochs or self.cfg.train.epoch
+        watch = "desc_loss" if self.stage == "Desc" else "match_loss"
+        for epoch in range(epochs):
+            meters: dict[str, AverageMeter] = {}
+            timer = Timer()
+            for i, batch in enumerate(self.train_batches()):
+                timer.tic()
+                m = self._step(batch)
+                timer.toc()
+                for k, v in m.items():
+                    meters.setdefault(k, AverageMeter()).update(float(v))
+                if (i + 1) % 200 == 0:
+                    self.log(
+                        f"epoch {epoch + 1} [{i + 1}] "
+                        + " ".join(
+                            f"{k}:{v.avg:.4f}" for k, v in meters.items()
+                        )
+                        + f" step:{timer.avg:.2f}s"
+                    )
+            val_loss = self.evaluate() if self.val_batches else meters[
+                watch
+            ].avg
+            self.log(
+                f"epoch {epoch + 1} done: "
+                + " ".join(f"{k}:{v.avg:.4f}" for k, v in meters.items())
+                + f" val_{watch}:{val_loss:.4f}"
+            )
+            save_params(
+                os.path.join(self.snapshot_dir, self.stage, f"{epoch}.msgpack"),
+                self.variables,
+            )
+            if val_loss < self.best_loss:
+                self.best_loss = val_loss
+                save_params(
+                    os.path.join(self.snapshot_dir, self.stage, "best.msgpack"),
+                    self.variables,
+                )
+        return self.variables
+
+    def evaluate(self) -> float:
+        watch = "desc_loss" if self.stage == "Desc" else "match_loss"
+        meter = AverageMeter()
+        desc_model, pose_model = build_models(self.cfg)
+        statics = TrainStatics.from_config(self.cfg)
+        for batch in self.val_batches():
+            self.key, sub = jax.random.split(self.key)
+            if self.stage == "Desc":
+                loss, aux = desc_stage_loss(
+                    self.variables, desc_model, statics, batch, sub
+                )
+                meter.update(float(aux["desc_loss"]))
+            else:
+                loss, aux = pose_stage_loss(
+                    self.variables, self.frozen, desc_model, pose_model,
+                    statics, batch, sub,
+                )
+                meter.update(float(aux["match_loss"]))
+        return meter.avg

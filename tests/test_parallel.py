@@ -1,0 +1,244 @@
+"""Parallel-layer tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bufferx_tpu.config import make_cfg
+from bufferx_tpu.core import se3
+from bufferx_tpu.data.modelnet import synthetic_pair_full_overlap
+from bufferx_tpu.data.training import build_training_batch
+from bufferx_tpu.parallel import (
+    PoseGraph,
+    make_mesh,
+    make_sharded_eval,
+    make_sharded_train_step,
+    pose_graph_gauss_newton,
+)
+from bufferx_tpu.parallel.posegraph import chain_initialization
+from bufferx_tpu.pipeline.registration import (
+    Cloud,
+    PipelineStatics,
+    init_params,
+    prepare_cloud,
+)
+
+
+def tiny_cfg():
+    return make_cfg("ModelNet40").override(
+        capacity=dict(
+            max_points=1024, num_ransac_hypotheses=512, ransac_chunk=128,
+            sphere_query_chunk=32,
+        ),
+        patch=dict(
+            num_fps=96, num_points_radius_estimate=128,
+            num_points_per_patch=64, num_scales=1,
+            search_radius_thresholds=(5.0,),
+        ),
+        train=dict(pos_num=32),
+    )
+
+
+class TestMesh:
+    def test_make_mesh(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        mesh2 = make_mesh(4)
+        assert mesh2.devices.size == 4
+        with pytest.raises(ValueError):
+            make_mesh(100)
+
+
+class TestShardedEval:
+    def test_eight_pairs_over_eight_devices(self):
+        cfg = tiny_cfg()
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        statics = PipelineStatics.from_config(cfg)
+        mesh = make_mesh()
+        eval_fn = make_sharded_eval(params, statics, mesh)
+
+        srcs, tgts, gts = [], [], []
+        for i in range(8):
+            rs = np.random.RandomState(i)
+            s, t, T = synthetic_pair_full_overlap(rs, num_points=1200)
+            srcs.append(prepare_cloud(s, cfg, seed=i))
+            tgts.append(prepare_cloud(t, cfg, seed=i))
+            gts.append(T)
+        src_b = jax.tree.map(lambda *x: jnp.stack(x), *srcs)
+        tgt_b = jax.tree.map(lambda *x: jnp.stack(x), *tgts)
+        aligned = jnp.zeros(8, bool)
+        keys = jax.random.split(jax.random.PRNGKey(0), 8)
+
+        res = eval_fn(src_b, tgt_b, aligned, keys)
+        assert res.pose.shape == (8, 4, 4)
+        rte = np.asarray(
+            se3.compute_rte(res.pose, jnp.stack([jnp.asarray(g) for g in gts]))
+        )
+        # single tiny scale + untrained weights: most, not necessarily all
+        assert (rte < 0.3).mean() >= 0.5
+
+    def test_matches_unsharded(self):
+        cfg = tiny_cfg()
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        statics = PipelineStatics.from_config(cfg)
+        mesh = make_mesh()
+        eval_fn = make_sharded_eval(params, statics, mesh)
+
+        rs = np.random.RandomState(3)
+        s, t, T = synthetic_pair_full_overlap(rs, num_points=1200)
+        src = prepare_cloud(s, cfg, seed=0)
+        tgt = prepare_cloud(t, cfg, seed=0)
+        src_b = jax.tree.map(lambda x: jnp.tile(x[None], (8,) + (1,) * x.ndim), src)
+        tgt_b = jax.tree.map(lambda x: jnp.tile(x[None], (8,) + (1,) * x.ndim), tgt)
+        keys = jnp.tile(jax.random.PRNGKey(7)[None], (8, 1))
+        res = eval_fn(src_b, tgt_b, jnp.zeros(8, bool), keys)
+        # identical inputs on every device -> identical outputs
+        poses = np.asarray(res.pose)
+        for i in range(1, 8):
+            np.testing.assert_allclose(poses[i], poses[0], atol=1e-5)
+
+
+class TestShardedTrain:
+    def test_step_runs_and_syncs(self):
+        cfg = tiny_cfg()
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        mesh = make_mesh()
+        step = make_sharded_train_step(cfg, mesh)
+
+        batches = []
+        for i in range(8):
+            rs = np.random.RandomState(i)
+            s, t, T = synthetic_pair_full_overlap(rs, num_points=1200)
+            batches.append(
+                build_training_batch(cfg, s, t, T, rs, jax.random.PRNGKey(i))
+            )
+        batch = jax.tree.map(lambda *x: jnp.stack(x), *batches)
+        keys = jax.random.split(jax.random.PRNGKey(0), 8)
+
+        import optax
+
+        opt = optax.adam(1e-3)
+        variables = params["desc"]
+        opt_state = opt.init(variables["params"])
+        step = make_sharded_train_step(cfg, mesh, opt)
+        new_vars, new_opt, metrics = step(variables, opt_state, batch, keys)
+        assert np.isfinite(float(metrics["loss"]))
+        # params changed
+        d = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            variables["params"], new_vars["params"],
+        )
+        assert max(jax.tree.leaves(d)) > 0
+
+
+def make_ring_graph(rs, k=8, noise_rot=0.02, noise_tr=0.02):
+    """Ring of k poses with noisy chain edges + loop closure."""
+    gt = [np.eye(4, dtype=np.float32)]
+    for i in range(1, k):
+        T = np.eye(4, dtype=np.float32)
+        axis = rs.randn(3)
+        axis /= np.linalg.norm(axis)
+        ang = rs.uniform(0.2, 0.5)
+        K = np.array(
+            [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+        )
+        T[:3, :3] = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * K @ K
+        T[:3, 3] = rs.randn(3) * 0.5
+        gt.append(gt[-1] @ T)
+    gt = np.stack(gt)
+
+    def noisy(T):
+        ax = rs.randn(3)
+        ax *= noise_rot / np.linalg.norm(ax) * rs.rand()
+        Kx = np.array(
+            [[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]]
+        )
+        nR = np.eye(3) + Kx  # small-angle
+        out = T.copy()
+        out[:3, :3] = nR @ T[:3, :3]
+        out[:3, 3] += rs.randn(3) * noise_tr
+        return out
+
+    ei, ej, tm, w = [], [], [], []
+    for i in range(k - 1):
+        ei.append(i); ej.append(i + 1)
+        tm.append(noisy(np.linalg.inv(gt[i]) @ gt[i + 1])); w.append(1.0)
+    # loop closures
+    ei.append(0); ej.append(k - 1)
+    tm.append(noisy(np.linalg.inv(gt[0]) @ gt[k - 1])); w.append(1.0)
+    ei.append(0); ej.append(k // 2)
+    tm.append(noisy(np.linalg.inv(gt[0]) @ gt[k // 2])); w.append(1.0)
+    graph = PoseGraph(
+        jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
+        jnp.asarray(np.stack(tm).astype(np.float32)), jnp.asarray(w, jnp.float32),
+    )
+    return graph, gt
+
+
+class TestPoseGraph:
+    def test_exact_measurements_recover_gt(self):
+        rs = np.random.RandomState(0)
+        graph, gt = make_ring_graph(rs, k=6, noise_rot=0.0, noise_tr=0.0)
+        init = chain_initialization(graph, 6)
+        out = pose_graph_gauss_newton(graph, init, num_poses=6, num_iters=5)
+        for i in range(6):
+            rte = float(se3.compute_rte(out[i], jnp.asarray(gt[i])))
+            rre = float(se3.compute_rre(out[i], jnp.asarray(gt[i])))
+            assert rte < 1e-3 and rre < 0.1, (i, rte, rre)
+
+    def test_noisy_graph_improves_over_chain(self):
+        rs = np.random.RandomState(1)
+        graph, gt = make_ring_graph(rs, k=8, noise_rot=0.05, noise_tr=0.05)
+        init = chain_initialization(graph, 8)
+        out = pose_graph_gauss_newton(graph, init, num_poses=8, num_iters=10)
+        err_init = np.mean(
+            [float(se3.compute_rte(init[i], jnp.asarray(gt[i]))) for i in range(8)]
+        )
+        err_opt = np.mean(
+            [float(se3.compute_rte(out[i], jnp.asarray(gt[i]))) for i in range(8)]
+        )
+        assert err_opt < err_init
+
+    def test_zero_weight_factors_ignored(self):
+        rs = np.random.RandomState(2)
+        graph, gt = make_ring_graph(rs, k=5, noise_rot=0.0, noise_tr=0.0)
+        # append a wildly wrong factor with weight 0 (padding)
+        bad = np.eye(4, dtype=np.float32)
+        bad[:3, 3] = 100.0
+        g2 = PoseGraph(
+            jnp.concatenate([graph.edges_i, jnp.asarray([0], jnp.int32)]),
+            jnp.concatenate([graph.edges_j, jnp.asarray([3], jnp.int32)]),
+            jnp.concatenate([graph.t_meas, jnp.asarray(bad)[None]]),
+            jnp.concatenate([graph.weights, jnp.asarray([0.0])]),
+        )
+        init = chain_initialization(g2, 5)
+        out = pose_graph_gauss_newton(g2, init, num_poses=5, num_iters=5)
+        for i in range(5):
+            assert float(se3.compute_rte(out[i], jnp.asarray(gt[i]))) < 1e-3
+
+    def test_sharded_matches_single(self):
+        rs = np.random.RandomState(3)
+        graph, gt = make_ring_graph(rs, k=6, noise_rot=0.03, noise_tr=0.03)
+        # pad factors to a multiple of 8 with weight-0 entries
+        e = len(np.asarray(graph.weights))
+        pad = (-e) % 8
+        graph_p = PoseGraph(
+            jnp.concatenate([graph.edges_i, jnp.zeros(pad, jnp.int32)]),
+            jnp.concatenate([graph.edges_j, jnp.zeros(pad, jnp.int32)]),
+            jnp.concatenate(
+                [graph.t_meas, jnp.tile(jnp.eye(4)[None], (pad, 1, 1))]
+            ),
+            jnp.concatenate([graph.weights, jnp.zeros(pad)]),
+        )
+        init = chain_initialization(graph, 6)
+        single = pose_graph_gauss_newton(
+            graph_p, init, num_poses=6, num_iters=8
+        )
+        mesh = make_mesh(8, axis_name="fp")
+        sharded = pose_graph_gauss_newton(
+            graph_p, init, num_poses=6, num_iters=8, mesh=mesh, axis="fp"
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(single), atol=1e-4
+        )

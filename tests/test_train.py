@@ -1,0 +1,236 @@
+"""Training-layer tests: losses, SO(2) labels, train steps reduce loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bufferx_tpu.config import make_cfg
+from bufferx_tpu.core.se3 import rotation_z
+from bufferx_tpu.data.training import build_training_batch, synthetic_training_stream
+from bufferx_tpu.data.modelnet import synthetic_pair_full_overlap
+from bufferx_tpu.pipeline.registration import init_params
+from bufferx_tpu.train.forward import (
+    TrainStatics,
+    cal_so2_gt,
+    sample_gt_correspondences,
+)
+from bufferx_tpu.train.losses import contrastive_loss, huber_loss, so2_cross_entropy
+from bufferx_tpu.train.trainer import (
+    compose_staged_params,
+    load_params,
+    make_optimizer,
+    make_train_step,
+    save_params,
+)
+
+
+def tiny_cfg():
+    return make_cfg("ModelNet40").override(
+        capacity=dict(max_points=1024, sphere_query_chunk=32),
+        patch=dict(num_points_per_patch=64),
+        train=dict(pos_num=32),
+    )
+
+
+class TestLosses:
+    def test_contrastive_perfect_descriptors(self, rng):
+        # identical anchor/positive, all others far: loss ~ margin terms only
+        desc = np.eye(8, 16, dtype=np.float32) * 2
+        kd = np.full((8, 8), 10.0, np.float32)
+        loss, acc = contrastive_loss(
+            jnp.asarray(desc), jnp.asarray(desc), jnp.asarray(kd),
+            jnp.ones(8, bool),
+        )
+        assert float(acc) == 1.0
+        assert float(loss) < 0.1
+
+    def test_contrastive_ignores_invalid(self, rng):
+        desc = rng.randn(8, 16).astype(np.float32)
+        kd = np.full((8, 8), 10.0, np.float32)
+        full, _ = contrastive_loss(
+            jnp.asarray(desc), jnp.asarray(desc), jnp.asarray(kd),
+            jnp.ones(8, bool),
+        )
+        # corrupt invalid slots: loss must not change
+        desc2 = desc.copy()
+        desc2[4:] = 1000.0
+        valid = np.zeros(8, bool)
+        valid[:4] = True
+        a, _ = contrastive_loss(
+            jnp.asarray(desc), jnp.asarray(desc), jnp.asarray(kd),
+            jnp.asarray(valid),
+        )
+        b, _ = contrastive_loss(
+            jnp.asarray(desc2), jnp.asarray(desc), jnp.asarray(kd),
+            jnp.asarray(valid),
+        )
+        # anchor corruption in invalid slots does not affect masked loss
+        # (their rows are excluded; columns are pushed out by pair_invalid)
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+    def test_safe_radius_exclusion(self):
+        # two identical descriptors at nearby *positions* must not be
+        # negatives of each other
+        desc = np.zeros((2, 4), np.float32)
+        desc[:, 0] = 1.0  # identical
+        kd_near = np.full((2, 2), 0.01, np.float32)  # spatially near
+        loss_near, _ = contrastive_loss(
+            jnp.asarray(desc), jnp.asarray(desc), jnp.asarray(kd_near),
+            jnp.ones(2, bool),
+        )
+        kd_far = np.full((2, 2), 10.0, np.float32)
+        loss_far, _ = contrastive_loss(
+            jnp.asarray(desc), jnp.asarray(desc), jnp.asarray(kd_far),
+            jnp.ones(2, bool),
+        )
+        # near duplicates excluded -> no negative pressure -> smaller loss
+        assert float(loss_near) < float(loss_far)
+
+    def test_huber(self):
+        pred = jnp.asarray([0.0, 3.0])
+        tgt = jnp.asarray([0.5, 0.0])
+        v = jnp.ones(2, bool)
+        # |0.5| -> quadratic 0.125 ; |3| -> 0.5 + 2.5*1 = 3 - 0.5 = 2.5
+        np.testing.assert_allclose(
+            float(huber_loss(pred, tgt, v)), (0.125 + 2.5) / 2, rtol=1e-6
+        )
+
+    def test_so2_ce_masked(self, rng):
+        logits = rng.randn(6, 20).astype(np.float32)
+        labels = rng.randint(0, 20, 6)
+        valid = np.array([1, 1, 1, 0, 0, 0], bool)
+        loss, acc = so2_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(valid)
+        )
+        # only first three rows matter
+        logits2 = logits.copy()
+        logits2[3:] = 100.0
+        loss2, _ = so2_cross_entropy(
+            jnp.asarray(logits2), jnp.asarray(labels), jnp.asarray(valid)
+        )
+        np.testing.assert_allclose(float(loss), float(loss2), rtol=1e-5)
+
+
+class TestSO2GT:
+    def test_pure_z_rotation_global_frame(self):
+        # global-z case: LRFs identity, rand_axis = x̂; a GT z-rotation by
+        # k bins must produce label k
+        azi_n = 20
+        k = 7
+        K = 5
+        gt_R = np.asarray(rotation_z(jnp.asarray(2 * np.pi * k / azi_n)))
+        rand_axis = np.tile([1.0, 0.0, 0.0], (K, 1)).astype(np.float32)
+        eye = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        # NOTE label measures src-axis vs projected target axis: with
+        # identity LRFs the deviation angle equals the GT azimuth rotation
+        labels = cal_so2_gt(
+            jnp.asarray(rand_axis), jnp.asarray(eye), jnp.asarray(eye),
+            jnp.asarray(gt_R.astype(np.float32)), azi_n, integer=True,
+        )
+        np.testing.assert_array_equal(np.asarray(labels), k)
+
+    def test_float_labels_continuous(self):
+        azi_n = 20
+        theta = 2 * np.pi * 3.4 / azi_n
+        gt_R = np.asarray(rotation_z(jnp.asarray(theta)))
+        rand_axis = np.tile([1.0, 0.0, 0.0], (2, 1)).astype(np.float32)
+        eye = np.tile(np.eye(3, dtype=np.float32), (2, 1, 1))
+        labels = cal_so2_gt(
+            jnp.asarray(rand_axis), jnp.asarray(eye), jnp.asarray(eye),
+            jnp.asarray(gt_R.astype(np.float32)), azi_n, integer=False,
+        )
+        np.testing.assert_allclose(np.asarray(labels), 3.4, atol=1e-3)
+
+
+class TestGtCorrespondences:
+    def test_exact_pairs(self, rng):
+        n = 256
+        src = rng.randn(n, 3).astype(np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [1.0, 0.0, 0.0]
+        tgt = src + np.array([1.0, 0.0, 0.0], np.float32)
+        s, t, v = sample_gt_correspondences(
+            jnp.asarray(src), jnp.ones(n, bool),
+            jnp.asarray(tgt), jnp.ones(n, bool),
+            jnp.asarray(T), jnp.float32(0.05), jax.random.PRNGKey(0), 64,
+        )
+        assert np.asarray(v).all()
+        np.testing.assert_allclose(
+            np.asarray(s) + [1, 0, 0], np.asarray(t), atol=1e-5
+        )
+
+    def test_no_matches(self, rng):
+        src = rng.randn(64, 3).astype(np.float32)
+        tgt = src + 100.0
+        s, t, v = sample_gt_correspondences(
+            jnp.asarray(src), jnp.ones(64, bool),
+            jnp.asarray(tgt), jnp.ones(64, bool),
+            jnp.asarray(np.eye(4, dtype=np.float32)), jnp.float32(0.05),
+            jax.random.PRNGKey(0), 32,
+        )
+        assert not np.asarray(v).any()
+
+
+class TestTrainSteps:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = tiny_cfg()
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        rs = np.random.RandomState(0)
+        src, tgt, T = synthetic_pair_full_overlap(rs, num_points=2000)
+        batch = build_training_batch(cfg, src, tgt, T, rs, jax.random.PRNGKey(1))
+        return cfg, params, batch
+
+    def test_desc_step_runs_and_learns(self, setup):
+        cfg, params, batch = setup
+        opt = make_optimizer(cfg, "Desc", steps_per_epoch=10)
+        step = make_train_step(cfg, "Desc", opt)
+        variables = params["desc"]
+        opt_state = opt.init(variables["params"])
+        losses = []
+        for i in range(3):
+            variables, opt_state, m = step(
+                variables, opt_state, batch, jax.random.PRNGKey(i)
+            )
+            assert bool(m["grads_finite"])
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]  # same batch: loss must drop
+
+    def test_pose_step_runs(self, setup):
+        cfg, params, batch = setup
+        opt = make_optimizer(cfg, "Pose", steps_per_epoch=10)
+        step = make_train_step(cfg, "Pose", opt)
+        variables = params["pose"]
+        opt_state = opt.init(variables["params"])
+        losses = []
+        for i in range(2):
+            variables, opt_state, m = step(
+                variables, opt_state, params["desc"], batch, jax.random.PRNGKey(i)
+            )
+            assert bool(m["grads_finite"])
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+
+    def test_checkpoint_roundtrip(self, setup, tmp_path):
+        cfg, params, _ = setup
+        p1 = save_params(str(tmp_path / "Desc" / "best.msgpack"), params["desc"])
+        p2 = save_params(str(tmp_path / "Pose" / "best.msgpack"), params["pose"])
+        restored = compose_staged_params(p1, p2, params)
+        diff = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            params, restored,
+        )
+        assert max(jax.tree.leaves(diff)) == 0.0
+
+
+class TestStream:
+    def test_synthetic_stream_shapes(self):
+        cfg = tiny_cfg()
+        batches = list(synthetic_training_stream(cfg, 2, num_points=1500))
+        assert len(batches) == 2
+        b = batches[0]
+        assert b["src_fds"].shape == (1024, 3)
+        assert b["src_kpt"].shape == (32, 3)
+        assert b["corr_valid"].sum() > 0
