@@ -47,9 +47,12 @@ def _cell_query_one(
     patch: jnp.ndarray,       # [P, 3] normalized patch offsets
     patch_mask: jnp.ndarray,  # [P]
     cells: jnp.ndarray,       # [G, 3]
-    noise: jnp.ndarray,       # [G, P] uniform scores
+    noise: jnp.ndarray,       # [P] per-point random priority (shared
+                              # across cells — mirrors the reference's
+                              # shuffle-once-then-ball-query order)
     radius: float,
     nsample: int,
+    use_approx: bool,
 ):
     """Up to ``nsample`` random in-radius points per grid cell, zero-filled."""
     d2 = (
@@ -59,14 +62,23 @@ def _cell_query_one(
         + jnp.sum(patch * patch, axis=-1)[None, :]
     )
     in_r = (d2 <= radius * radius) & patch_mask[None, :]
-    scores = jnp.where(in_r, noise, -jnp.inf)
-    vals, idx = jax.lax.top_k(scores, nsample)              # [G, ns]
+    scores = jnp.where(in_r, noise[None, :], -jnp.inf)
+    if use_approx:
+        # bitonic approx top-k: ~50x cheaper than the full per-cell sort
+        vals, idx = jax.lax.approx_max_k(scores, nsample, recall_target=0.95)
+    else:
+        vals, idx = jax.lax.top_k(scores, nsample)          # [G, ns]
     valid = vals > -jnp.inf
     gathered = patch[idx]                                    # [G, ns, 3]
     return jnp.where(valid[..., None], gathered, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("rad_n", "ele_n", "azi_n", "nsample", "chunk"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rad_n", "ele_n", "azi_n", "delta", "nsample", "chunk", "use_approx"
+    ),
+)
 def spatial_point_transformer(
     patches: jnp.ndarray,       # [K, P, 3] normalized (unit-radius) offsets
     patches_mask: jnp.ndarray,  # [K, P]
@@ -77,6 +89,7 @@ def spatial_point_transformer(
     delta: float,
     nsample: int,
     chunk: int = 256,
+    use_approx: bool = True,
 ):
     """SPT: scatter each patch onto the cylindrical grid and derotate.
 
@@ -89,25 +102,35 @@ def spatial_point_transformer(
     cells = jnp.asarray(grid_cell_centers(rad_n, ele_n, azi_n))
     g = cells.shape[0]
     radius = delta / rad_n
-    noise = jax.random.uniform(key, (k, g, p))
+    noise = jax.random.uniform(key, (k, p))
+
+    if jax.default_backend() == "tpu" and nsample * 3 <= 128:
+        from bufferx_tpu.geometry.spt_pallas import spt_cell_query_pallas
+
+        out = spt_cell_query_pallas(
+            patches, patches_mask, noise, cells, radius, nsample
+        )
+        return var_to_invar(out, rad_n, ele_n, azi_n)
 
     def run_chunk(args):
         pa, ma, no = args
         return jax.vmap(
-            lambda pp, mm, nn: _cell_query_one(pp, mm, cells, nn, radius, nsample)
+            lambda pp, mm, nn: _cell_query_one(
+                pp, mm, cells, nn, radius, nsample, use_approx
+            )
         )(pa, ma, no)
 
     n_chunks = (k + chunk - 1) // chunk
     pad = n_chunks * chunk - k
     pa = jnp.pad(patches, ((0, pad), (0, 0), (0, 0)))
     ma = jnp.pad(patches_mask, ((0, pad), (0, 0)))
-    no = jnp.pad(noise, ((0, pad), (0, 0), (0, 0)))
+    no = jnp.pad(noise, ((0, pad), (0, 0)))
     out = jax.lax.map(
         run_chunk,
         (
             pa.reshape(n_chunks, chunk, p, 3),
             ma.reshape(n_chunks, chunk, p),
-            no.reshape(n_chunks, chunk, g, p),
+            no.reshape(n_chunks, chunk, p),
         ),
     ).reshape(n_chunks * chunk, g, nsample, 3)[:k]
     return var_to_invar(out, rad_n, ele_n, azi_n)

@@ -39,7 +39,7 @@ from bufferx_tpu.core.se3 import integrate
 from bufferx_tpu.geometry.cylindrical import spatial_point_transformer
 from bufferx_tpu.geometry.lrf import align_patches
 from bufferx_tpu.geometry.patches import select_patches
-from bufferx_tpu.kernels.fps import farthest_point_sampling
+from bufferx_tpu.kernels.fps import fps as farthest_point_sampling
 from bufferx_tpu.kernels.neighbors import mutual_nearest
 from bufferx_tpu.kernels.radius import density_aware_radius
 from bufferx_tpu.models.heads import CostVolume

@@ -35,9 +35,9 @@ def small_cfg():
             sphere_query_chunk=64,
         ),
         patch=dict(
-            num_fps=192,
-            num_points_radius_estimate=256,
-            num_points_per_patch=128,
+            num_fps=288,
+            num_points_radius_estimate=288,
+            num_points_per_patch=160,
             num_scales=2,
             search_radius_thresholds=(5.0, 2.0),
         ),
