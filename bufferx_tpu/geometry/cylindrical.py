@@ -104,7 +104,7 @@ def spatial_point_transformer(
     radius = delta / rad_n
     noise = jax.random.uniform(key, (k, p))
 
-    if jax.default_backend() == "tpu" and nsample * 3 <= 128:
+    if jax.default_backend() == "tpu" and nsample * 8 <= 128:
         from bufferx_tpu.geometry.spt_pallas import spt_cell_query_pallas
 
         out = spt_cell_query_pallas(

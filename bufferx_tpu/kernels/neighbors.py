@@ -108,8 +108,12 @@ def mutual_nearest(
 
 def _random_topk(scores: jnp.ndarray, k: int, use_approx: bool):
     if use_approx:
-        # recall target keeps the subset distribution effectively uniform
-        vals, idx = jax.lax.approx_max_k(scores, k, recall_target=0.95)
+        # Scores are *random priorities*: we want any k of the positive-score
+        # candidates, not exact top-k, so a low recall target is free — it
+        # only reshuffles which random subset wins, while shrinking the
+        # intermediate candidate set approx_max_k sorts (recall 0.95 left a
+        # 15k-wide aggregate sort per row at production shapes).
+        vals, idx = jax.lax.approx_max_k(scores, k, recall_target=0.5)
     else:
         vals, idx = jax.lax.top_k(scores, k)
     return vals, idx.astype(jnp.int32)

@@ -44,10 +44,12 @@ class CostVolume(nn.Module):
 
     azi_n: int = 20
     bn_axis_name: str | None = None
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, des1: jnp.ndarray, des2: jnp.ndarray, train: bool = False):
         ax = self.bn_axis_name
+        dt = self.compute_dtype
         rolled = _all_rolls(des1, self.azi_n)               # [B, C, Ke, S, L]
         cost = rolled - des2[:, :, :, None, :]              # broadcast over S
         # to channel-last [B, S, Ke, L, C] for 3D convs over (S, Ke, L)
@@ -65,10 +67,11 @@ class CostVolume(nn.Module):
             (32, (3, 1, 3)),
         ]
         for feats, kern in specs:
-            x = ConvBNRelu(feats, kern, bn_axis_name=ax)(x, train)
-        x = ConvBNRelu(self.azi_n, (2, 1, 2), use_bn=False, use_relu=False)(
-            x, train
-        )
+            x = ConvBNRelu(feats, kern, bn_axis_name=ax, compute_dtype=dt)(
+                x, train
+            )
+        x = ConvBNRelu(self.azi_n, (2, 1, 2), use_bn=False, use_relu=False,
+                       compute_dtype=dt)(x, train)
         # all spatial dims collapsed to 1; channels = azimuth bins
         logits = x.reshape(x.shape[0], self.azi_n)
         prob = jax.nn.softmax(logits, axis=-1)

@@ -38,7 +38,11 @@ def pad_cyl_3d(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 class ConvBNRelu(nn.Module):
-    """VALID conv + optional BatchNorm(affine-free) + optional ReLU."""
+    """VALID conv + optional BatchNorm(affine-free) + optional ReLU.
+
+    ``compute_dtype=bfloat16`` runs the conv on the MXU at double rate and
+    halves the weight-copy traffic; BatchNorm statistics stay float32.
+    """
 
     features: int
     kernel: Sequence[int]
@@ -46,10 +50,14 @@ class ConvBNRelu(nn.Module):
     use_relu: bool = True
     bn_affine: bool = False
     bn_axis_name: str | None = None
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, tuple(self.kernel), padding="VALID")(x)
+        x = nn.Conv(
+            self.features, tuple(self.kernel), padding="VALID",
+            dtype=self.compute_dtype,
+        )(x.astype(self.compute_dtype))
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -57,7 +65,10 @@ class ConvBNRelu(nn.Module):
                 use_scale=self.bn_affine,
                 axis_name=self.bn_axis_name if train else None,
                 momentum=0.9,
-            )(x)
+                dtype=jnp.float32,
+            )(x.astype(jnp.float32))
+        else:
+            x = x.astype(jnp.float32)
         if self.use_relu:
             x = nn.relu(x)
         return x
@@ -73,18 +84,23 @@ class CylindricalConvNet(nn.Module):
 
     dim: int = 32
     bn_axis_name: str | None = None
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ax = self.bn_axis_name
+        dt = self.compute_dtype
         x = pad_cyl_3d(x, 3)
-        x = ConvBNRelu(64, (3, 3, 3), bn_axis_name=ax)(x, train)
+        x = ConvBNRelu(64, (3, 3, 3), bn_axis_name=ax, compute_dtype=dt)(x, train)
         x = jnp.squeeze(x, axis=1)                    # rad 3 -> 1, drop it
         mid = x
         for feats in (64, 128, 128, 64, 64):
-            x = ConvBNRelu(feats, (3, 3), bn_axis_name=ax)(pad_cyl_2d(x, 3), train)
-        x = ConvBNRelu(32, (3, 3), bn_axis_name=ax)(pad_cyl_2d(x, 3), train)
-        x = ConvBNRelu(self.dim, (3, 3), use_bn=False, use_relu=False)(
+            x = ConvBNRelu(feats, (3, 3), bn_axis_name=ax, compute_dtype=dt)(
+                pad_cyl_2d(x, 3), train
+            )
+        x = ConvBNRelu(32, (3, 3), bn_axis_name=ax, compute_dtype=dt)(
             pad_cyl_2d(x, 3), train
         )
+        x = ConvBNRelu(self.dim, (3, 3), use_bn=False, use_relu=False,
+                       compute_dtype=dt)(pad_cyl_2d(x, 3), train)
         return x, mid

@@ -30,26 +30,31 @@ class MiniSpinNet(nn.Module):
     azi_n: int = 20
     dim: int = 32
     bn_axis_name: str | None = None
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, inv_patches: jnp.ndarray, train: bool = False):
         ax = self.bn_axis_name
+        dt = self.compute_dtype
         k, g, ns, _ = inv_patches.shape
         assert g == self.rad_n * self.ele_n * self.azi_n
 
         # point MLP: 1x1 conv 3->16 + BN(affine) + relu, max-pool over samples
-        x = ConvBNRelu(16, (1, 1), bn_affine=True, bn_axis_name=ax)(
-            inv_patches, train
-        )                                                   # [K, G, ns, 16]
+        x = ConvBNRelu(16, (1, 1), bn_affine=True, bn_axis_name=ax,
+                       compute_dtype=dt)(inv_patches, train)                                                   # [K, G, ns, 16]
         x = jnp.max(x, axis=2)                              # [K, G, 16]
         x = x.reshape(k, self.rad_n, self.ele_n, self.azi_n, 16)
 
-        x, _mid = CylindricalConvNet(dim=self.dim, bn_axis_name=ax)(x, train)
+        x, _mid = CylindricalConvNet(
+            dim=self.dim, bn_axis_name=ax, compute_dtype=dt
+        )(x, train)
         # x: [K, ele, azi, 32]
 
         # attention pooling (reference pool_layer: 32->16->1, BN affine)
-        w = ConvBNRelu(16, (1, 1), bn_affine=True, bn_axis_name=ax)(x, train)
-        w = ConvBNRelu(1, (1, 1), bn_affine=True, bn_axis_name=ax)(w, train)
+        w = ConvBNRelu(16, (1, 1), bn_affine=True, bn_axis_name=ax,
+                       compute_dtype=dt)(x, train)
+        w = ConvBNRelu(1, (1, 1), bn_affine=True, bn_axis_name=ax,
+                       compute_dtype=dt)(w, train)
         f = jnp.mean(x * w, axis=(1, 2))                    # [K, 32]
         f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
 

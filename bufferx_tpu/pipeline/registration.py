@@ -105,6 +105,7 @@ class PipelineStatics:
     enable_early_exit: bool
     early_exit_min_inliers: int
     kiss_resolution: float
+    use_bf16: bool = True   # conv stacks in bfloat16 at inference (MXU 2x)
 
     @classmethod
     def from_config(cls, cfg: Config) -> "PipelineStatics":
@@ -329,10 +330,12 @@ def _register_impl(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
 
 @functools.lru_cache(maxsize=None)
 def _models_from_statics(statics: PipelineStatics):
+    dt = jnp.bfloat16 if statics.use_bf16 else jnp.float32
     desc = MiniSpinNet(
-        rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n
+        rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
+        compute_dtype=dt,
     )
-    pose = CostVolume(azi_n=statics.azi_n)
+    pose = CostVolume(azi_n=statics.azi_n, compute_dtype=dt)
     return desc, pose
 
 

@@ -141,11 +141,17 @@ def load_params(path: str, template: Any) -> Any:
 
 def compose_staged_params(desc_path: str, pose_path: str, template: dict) -> dict:
     """Merge per-stage checkpoints into the pipeline's param dict
-    (the reference's staged checkpoint merge, ``test.py:87-94``)."""
-    return {
-        "desc": load_params(desc_path, template["desc"]),
-        "pose": load_params(pose_path, template["pose"]),
-    }
+    (the reference's staged checkpoint merge, ``test.py:87-94``).
+
+    Device-puts the result: msgpack deserialization yields numpy arrays,
+    and feeding those to a jitted function re-uploads every parameter on
+    every call (ruinous over a tunneled device link)."""
+    return jax.device_put(
+        {
+            "desc": load_params(desc_path, template["desc"]),
+            "pose": load_params(pose_path, template["pose"]),
+        }
+    )
 
 
 class Trainer:
