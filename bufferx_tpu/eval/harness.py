@@ -44,6 +44,8 @@ def evaluate_pairs(
     csv_path: str | None = None,
     summary_csv_path: str | None = None,
     log=None,
+    profile_dir: str | None = None,
+    progress: bool = False,
 ) -> dict:
     """Sequential per-pair evaluation with the reference timing protocol.
 
@@ -61,8 +63,15 @@ def evaluate_pairs(
     rte_succ, rre_succ = AverageMeter(), AverageMeter()
     data_timer = Timer()
 
+    from bufferx_tpu.utils.progress import ProgressLine
+
+    line = ProgressLine(cfg.data.dataset) if progress else None
+
     key = jax.random.PRNGKey(cfg.data.manual_seed)
     for i, sample in enumerate(pairs):
+        # device-trace exactly one steady-state pair when profiling
+        if profile_dir is not None and i == WARMUP:
+            jax.profiler.start_trace(profile_dir)
         data_timer.tic()
         src = prepare_cloud(sample["src_points"], cfg, seed=2 * i)
         tgt = prepare_cloud(sample["tgt_points"], cfg, seed=2 * i + 1)
@@ -116,6 +125,13 @@ def evaluate_pairs(
                 pose=np.asarray(res.pose),
             )
         )
+        if profile_dir is not None and i == WARMUP:
+            jax.profiler.stop_trace()
+        if line is not None:
+            line.update(
+                i, meters["success"].avg, rte, rre, success,
+                pair_id=f"{sample.get('src_id', i)}",
+            )
         if log and (i + 1) % 10 == 0:
             log(
                 f"[{i + 1}] recall {meters['success'].avg * 100:.1f}% "
@@ -123,6 +139,8 @@ def evaluate_pairs(
                 f"model {meters['model_time'].avg * 1000:.0f}ms"
             )
 
+    if line is not None:
+        line.finish()
     summary = dict(
         dataset=cfg.data.dataset,
         num_pairs=meters["success"].count,

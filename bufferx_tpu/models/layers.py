@@ -15,7 +15,13 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ["pad_cyl_2d", "pad_cyl_3d", "ConvBNRelu", "CylindricalConvNet"]
+__all__ = [
+    "pad_cyl_2d",
+    "pad_cyl_3d",
+    "ConvBNRelu",
+    "CylindricalConvNet",
+    "CylindricalUNet",
+]
 
 
 def pad_cyl_2d(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -104,3 +110,50 @@ class CylindricalConvNet(nn.Module):
         x = ConvBNRelu(self.dim, (3, 3), use_bn=False, use_relu=False,
                        compute_dtype=dt)(pad_cyl_2d(x, 3), train)
         return x, mid
+
+
+class CylindricalUNet(nn.Module):
+    """U-Net variant of the backbone (reference ``Cylindrical_UNet``,
+    ``models/patchnet.py:86-149``; unused by the default pipeline but part
+    of the model inventory): conv3d stem, 3-level encoder, bottleneck, and
+    a concatenation-skip decoder, all with cylindrical padding. Affine
+    BatchNorm (the reference builds these with nn.BatchNorm2d defaults).
+
+    Input [K, rad, ele, azi, C_in]; output ([K, ele, azi, dim], None).
+    """
+
+    dim: int = 32
+    bn_axis_name: str | None = None
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def block(feats):
+            return ConvBNRelu(
+                feats, (3, 3), bn_affine=True,
+                bn_axis_name=self.bn_axis_name,
+                compute_dtype=self.compute_dtype,
+            )
+
+        x = ConvBNRelu(
+            32, (3, 3, 3), bn_affine=True, bn_axis_name=self.bn_axis_name,
+            compute_dtype=self.compute_dtype,
+        )(pad_cyl_3d(x, 3), train)
+        x = jnp.squeeze(x, axis=1)
+
+        enc1 = block(32)(pad_cyl_2d(x, 3), train)
+        enc2 = block(64)(pad_cyl_2d(enc1, 3), train)
+        enc3 = block(128)(pad_cyl_2d(enc2, 3), train)
+        bott = block(128)(pad_cyl_2d(enc3, 3), train)
+
+        dec3 = block(64)(
+            pad_cyl_2d(jnp.concatenate([bott, enc3], axis=-1), 3), train
+        )
+        dec2 = block(32)(
+            pad_cyl_2d(jnp.concatenate([dec3, enc2], axis=-1), 3), train
+        )
+        dec1 = block(32)(
+            pad_cyl_2d(jnp.concatenate([dec2, enc1], axis=-1), 3), train
+        )
+        out = block(self.dim)(pad_cyl_2d(dec1, 3), train)
+        return out, None

@@ -14,7 +14,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["contrastive_loss", "so2_cross_entropy", "huber_loss"]
+__all__ = [
+    "contrastive_loss",
+    "so2_cross_entropy",
+    "huber_loss",
+    "contrastive_loss_with_sos",
+    "hardest_contrastive_loss",
+    "inlier_classification_loss",
+    "transformation_loss",
+]
 
 _BIG = 1e5
 
@@ -87,3 +95,100 @@ def huber_loss(
     per = 0.5 * quad * quad + delta * (err - quad)
     vf = valid.astype(pred.dtype)
     return jnp.sum(per * vf) / jnp.maximum(jnp.sum(vf), 1.0)
+
+
+def contrastive_loss_with_sos(
+    anchor: jnp.ndarray,
+    positive: jnp.ndarray,
+    dist_keypts: jnp.ndarray,
+    valid: jnp.ndarray,
+    pos_margin: float = 0.1,
+    neg_margin: float = 1.4,
+    safe_radius: float = 0.10,
+    sos_weight: float = 0.1,
+):
+    """Contrastive + second-order-similarity regularizer (reference
+    ``ContrastiveLossWithSOS``, ``loss/desc_loss.py:109-175``; available but
+    unused by the default trainer, matching the reference). The SOS term
+    penalizes differences between the two descriptor sets' internal
+    similarity structures."""
+    base, acc = contrastive_loss(
+        anchor, positive, dist_keypts, valid,
+        pos_margin=pos_margin, neg_margin=neg_margin, safe_radius=safe_radius,
+    )
+    pair = (valid[:, None] & valid[None, :]).astype(anchor.dtype)
+    sim_a = anchor @ anchor.T * pair
+    sim_p = positive @ positive.T * pair
+    sos = jnp.sqrt(
+        jnp.sum((sim_a - sim_p) ** 2) / jnp.maximum(jnp.sum(pair), 1.0)
+    )
+    return base + sos_weight * sos, acc
+
+
+def hardest_contrastive_loss(
+    anchor: jnp.ndarray,
+    positive: jnp.ndarray,
+    valid: jnp.ndarray,
+    pos_margin: float = 0.1,
+    neg_margin: float = 1.4,
+):
+    """FCGF-style hardest-contrastive variant (reference
+    ``Hardest_ContrastiveLoss``, ``loss/desc_loss.py:177-223``; unused by
+    the default trainer): penalizes the positive distance and the hardest
+    negative from BOTH directions of the distance matrix."""
+    diff = anchor[:, None, :] - positive[None, :, :]
+    dists = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    n = anchor.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    invalid = ~(valid[:, None] & valid[None, :])
+    masked = dists + _BIG * (eye | invalid).astype(dists.dtype)
+    pos_d = jnp.sqrt(jnp.sum((anchor - positive) ** 2, axis=-1) + 1e-12)
+    hardest_row = jnp.min(masked, axis=1)
+    hardest_col = jnp.min(masked, axis=0)
+    vf = valid.astype(dists.dtype)
+    loss = (
+        jnp.maximum(pos_d - pos_margin, 0.0)
+        + 0.5 * jnp.maximum(neg_margin - hardest_row, 0.0)
+        + 0.5 * jnp.maximum(neg_margin - hardest_col, 0.0)
+    )
+    return jnp.sum(loss * vf) / jnp.maximum(jnp.sum(vf), 1.0)
+
+
+def inlier_classification_loss(
+    logits: jnp.ndarray,   # [N] inlier logits
+    labels: jnp.ndarray,   # [N] {0, 1}
+    valid: jnp.ndarray,
+):
+    """Class-balanced BCE inlier classification (reference
+    ``ClassificationLoss``, ``loss/desc_loss.py:226-307``; legacy/unused):
+    positives and negatives are weighted inversely to their counts."""
+    vf = valid.astype(logits.dtype)
+    lab = labels.astype(logits.dtype)
+    n_pos = jnp.maximum(jnp.sum(lab * vf), 1.0)
+    n_neg = jnp.maximum(jnp.sum((1.0 - lab) * vf), 1.0)
+    w = jnp.where(labels > 0, 0.5 / n_pos, 0.5 / n_neg) * vf
+    logp = jax.nn.log_sigmoid(logits)
+    lognp = jax.nn.log_sigmoid(-logits)
+    bce = -(lab * logp + (1.0 - lab) * lognp)
+    return jnp.sum(bce * w) / jnp.maximum(jnp.sum(w), 1e-9)
+
+
+def transformation_loss(
+    pred_pose: jnp.ndarray,   # [4, 4]
+    gt_pose: jnp.ndarray,     # [4, 4]
+    loss_type: str = "frobenius",
+):
+    """R/t supervision (reference ``TransformationLoss``,
+    ``loss/desc_loss.py:310-413``; legacy/unused). Supported types:
+    frobenius (chordal R + L2 t), geodesic (angle + L2 t)."""
+    R_p, R_g = pred_pose[:3, :3], gt_pose[:3, :3]
+    t_p, t_g = pred_pose[:3, 3], gt_pose[:3, 3]
+    t_loss = jnp.linalg.norm(t_p - t_g)
+    if loss_type == "frobenius":
+        r_loss = jnp.linalg.norm(R_p - R_g)
+    elif loss_type == "geodesic":
+        cos = jnp.clip((jnp.trace(R_p.T @ R_g) - 1.0) / 2.0, -1.0, 1.0)
+        r_loss = jnp.arccos(cos)
+    else:
+        raise ValueError(loss_type)
+    return r_loss + t_loss

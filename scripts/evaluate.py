@@ -56,6 +56,10 @@ def parse_args():
     ap.add_argument("--fast", action="store_true",
                     help="shrunken capacities for smoke runs (esp. --cpu)")
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--profile-dir", default=None,
+                    help="write a device trace of one steady-state pair")
+    ap.add_argument("--progress", action="store_true",
+                    help="single-line progress UI with failure call-outs")
     return ap.parse_args()
 
 
@@ -161,6 +165,8 @@ def main():
         csv_path=os.path.join(out_dir, f"{args.dataset}_per_sample.csv"),
         summary_csv_path=os.path.join(out_dir, "summary.csv"),
         log=print,
+        profile_dir=args.profile_dir,
+        progress=args.progress,
     )
     rows = summary.pop("rows")
 

@@ -234,3 +234,92 @@ class TestStream:
         assert b["src_fds"].shape == (1024, 3)
         assert b["src_kpt"].shape == (32, 3)
         assert b["corr_valid"].sum() > 0
+
+
+class TestResume:
+    def test_train_state_roundtrip(self, tmp_path):
+        cfg = tiny_cfg()
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        opt = make_optimizer(cfg, "Desc", 10)
+        opt_state = opt.init(params["desc"]["params"])
+        from bufferx_tpu.train.trainer import (
+            restore_train_state,
+            save_train_state,
+        )
+
+        p = save_train_state(
+            str(tmp_path / "state.msgpack"), params["desc"], opt_state, 3, 0.5
+        )
+        variables, opt2, epoch, best = restore_train_state(
+            p, params["desc"], opt_state
+        )
+        assert epoch == 3 and best == 0.5
+        diff = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            params["desc"], variables,
+        )
+        assert max(jax.tree.leaves(diff)) == 0.0
+
+
+class TestExtraLosses:
+    def test_sos_variant(self, rng):
+        from bufferx_tpu.train.losses import contrastive_loss_with_sos
+
+        a = rng.randn(8, 16).astype(np.float32)
+        kd = np.full((8, 8), 10.0, np.float32)
+        # identical sets: SOS term vanishes, equals plain contrastive
+        loss_same, _ = contrastive_loss_with_sos(
+            jnp.asarray(a), jnp.asarray(a), jnp.asarray(kd), jnp.ones(8, bool)
+        )
+        loss_diff, _ = contrastive_loss_with_sos(
+            jnp.asarray(a), jnp.asarray(rng.randn(8, 16).astype(np.float32)),
+            jnp.asarray(kd), jnp.ones(8, bool),
+        )
+        assert float(loss_diff) > float(loss_same)
+
+    def test_hardest_contrastive(self, rng):
+        from bufferx_tpu.train.losses import hardest_contrastive_loss
+
+        a = np.eye(8, 16, dtype=np.float32) * 2
+        loss = hardest_contrastive_loss(
+            jnp.asarray(a), jnp.asarray(a), jnp.ones(8, bool)
+        )
+        assert np.isfinite(float(loss))
+
+    def test_classification_loss_balanced(self):
+        from bufferx_tpu.train.losses import inlier_classification_loss
+
+        logits = jnp.asarray([10.0, 10.0, -10.0, 10.0])
+        labels = jnp.asarray([1, 1, 0, 0])
+        valid = jnp.ones(4, bool)
+        # one wrong confident positive prediction on a negative
+        loss = inlier_classification_loss(logits, labels, valid)
+        assert float(loss) > 1.0
+
+    def test_transformation_loss_zero_at_gt(self, rng):
+        from bufferx_tpu.train.losses import transformation_loss
+
+        T = np.eye(4, dtype=np.float32)
+        assert float(transformation_loss(jnp.asarray(T), jnp.asarray(T))) == 0.0
+        assert (
+            float(
+                transformation_loss(
+                    jnp.asarray(T), jnp.asarray(T), loss_type="geodesic"
+                )
+            )
+            == 0.0
+        )
+
+
+class TestUNetBackbone:
+    def test_shapes(self, rng):
+        import flax.linen as nn
+
+        from bufferx_tpu.models.layers import CylindricalUNet
+
+        model = CylindricalUNet(dim=32)
+        x = jnp.asarray(rng.randn(2, 3, 7, 20, 16).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out, mid = model.apply(variables, x, train=False)
+        assert out.shape == (2, 7, 20, 32)
+        assert mid is None
