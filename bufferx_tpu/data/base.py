@@ -15,7 +15,7 @@ here; sds is recomputed by the training batch builder.)
 from __future__ import annotations
 
 import os
-from typing import Callable, List, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -14,7 +14,6 @@ dataset root is absent.
 
 from __future__ import annotations
 
-import glob
 import os
 from os.path import join
 from typing import List

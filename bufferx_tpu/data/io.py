@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import lzma  # noqa: F401  (placeholder: compressed PCD unsupported)
 import os
-import struct
 
 import numpy as np
 

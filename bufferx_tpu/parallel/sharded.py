@@ -9,7 +9,6 @@ testing and on real slices.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
@@ -19,7 +18,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from bufferx_tpu.config import Config
-from bufferx_tpu.models.heads import CostVolume
 from bufferx_tpu.models.spinnet import MiniSpinNet
 from bufferx_tpu.pipeline.registration import (
     Cloud,

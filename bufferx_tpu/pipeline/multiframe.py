@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from bufferx_tpu.config import Config
-from bufferx_tpu.core import se3
 from bufferx_tpu.parallel.mesh import make_mesh
 from bufferx_tpu.parallel.posegraph import (
     PoseGraph,

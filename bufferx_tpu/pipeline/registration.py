@@ -35,7 +35,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from bufferx_tpu.config import Config
-from bufferx_tpu.core.se3 import integrate
 from bufferx_tpu.geometry.cylindrical import spatial_point_transformer
 from bufferx_tpu.geometry.lrf import align_patches
 from bufferx_tpu.geometry.patches import select_patches
@@ -185,6 +184,37 @@ def prepare_cloud(xyz: np.ndarray, cfg: Config, seed: int = 0) -> Cloud:
     return Cloud(jnp.asarray(out), jnp.asarray(mask))
 
 
+def _embed_two(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
+               src_kpts, tgt_kpts, des_r, is_aligned, key, desc_model):
+    """Both clouds' keypoints through one geometric+model pass.
+
+    Patch extraction/LRF/SPT are per-keypoint ops, and the conv net is
+    weight-bound at these batch sizes — stacking src and tgt (2K patches)
+    costs the same math but loads the weights once."""
+    k1, k2 = jax.random.split(key)
+    ks1, ks2 = jax.random.split(k1)
+    sp, sm = select_patches(
+        src.xyz, src.mask, src_kpts, des_r, ks1, statics.patch_sample
+    )
+    tp, tm = select_patches(
+        tgt.xyz, tgt.mask, tgt_kpts, des_r, ks2, statics.patch_sample
+    )
+    patches = jnp.concatenate([sp, tp])
+    pmask = jnp.concatenate([sm, tm])
+    kpts = jnp.concatenate([src_kpts, tgt_kpts])
+    delta = patches - kpts[:, None, :]
+    aligned, _rand_axis, R = align_patches(delta, kpts, is_aligned)
+    normed = aligned / des_r
+    inv = spatial_point_transformer(
+        normed, pmask, k2,
+        rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
+        delta=statics.delta, nsample=statics.voxel_sample,
+        chunk=statics.sphere_chunk,
+    )
+    out = desc_model.apply(params["desc"], inv, train=False)
+    return out["desc"], out["equi"], R
+
+
 def _embed(params, statics: PipelineStatics, cloud: Cloud, kpts, des_r,
            is_aligned, key, desc_model):
     """Keypoints -> (desc [K, 32], equi [K, C, ele, azi], R [K, 3, 3])."""
@@ -245,18 +275,19 @@ def _register_impl(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
         thresholds=statics.thresholds, max_r=statics.radius_max,
     )
 
-    # per-scale: embed both clouds, match, predict SO(2), pose candidates
+    # per-scale: embed both clouds in ONE model call (halves conv weight
+    # traffic and per-call overheads), match, predict SO(2), pose candidates
     all_ss, all_tt, all_R, all_t, all_valid, all_d2 = [], [], [], [], [], []
     for j, i in enumerate(cfg_scales):
         des_r = jnp.maximum(radii[i], 1e-3)
-        s_desc, s_equi, s_R = _embed(
-            params, statics, src, src_kpts, des_r, is_aligned,
-            keys[4 + 2 * j], desc_model,
+        desc2, equi2, R2 = _embed_two(
+            params, statics, src, tgt, src_kpts, tgt_kpts, des_r,
+            is_aligned, keys[4 + 2 * j], desc_model,
         )
-        t_desc, t_equi, t_R = _embed(
-            params, statics, tgt, tgt_kpts, des_r, is_aligned,
-            keys[5 + 2 * j], desc_model,
-        )
+        nf = statics.num_fps
+        s_desc, t_desc = desc2[:nf], desc2[nf:]
+        s_equi, t_equi = equi2[:nf], equi2[nf:]
+        s_R, t_R = R2[:nf], R2[nf:]
         nn, mutual, nn_d2 = mutual_nearest(
             s_desc, t_desc, src_kpts_v, tgt_kpts_v
         )

@@ -2,7 +2,6 @@
 on synthetic on-disk fixtures."""
 
 import os
-import struct
 
 import numpy as np
 import pytest

@@ -131,3 +131,37 @@ class TestResultIO:
             m.update(v)
         assert m.avg == 2.0
         np.testing.assert_allclose(m.std, np.std([1, 2, 3]))
+
+
+class TestHarnessBatched:
+    def test_batched_eval_runs(self):
+        import jax
+
+        from bufferx_tpu.config import make_cfg
+        from bufferx_tpu.data.modelnet import synthetic_pair_full_overlap
+        from bufferx_tpu.eval.harness import evaluate_pairs_batched
+        from bufferx_tpu.pipeline.registration import init_params
+
+        cfg = make_cfg("ModelNet40").override(
+            capacity=dict(
+                max_points=1024, num_ransac_hypotheses=512,
+                ransac_chunk=128, sphere_query_chunk=32,
+            ),
+            patch=dict(
+                num_fps=128, num_points_radius_estimate=128,
+                num_points_per_patch=64, num_scales=1,
+                search_radius_thresholds=(5.0,),
+            ),
+        )
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        samples = []
+        for i in range(4):
+            rs = np.random.RandomState(i)
+            s, t, T = synthetic_pair_full_overlap(rs, num_points=900)
+            samples.append(
+                dict(src_points=s, tgt_points=t, relt_pose=T,
+                     is_aligned_to_global_z=False)
+            )
+        out = evaluate_pairs_batched(cfg, samples, params, batch_size=2)
+        assert out["num_pairs"] == 4
+        assert 0.0 <= out["recall"] <= 1.0

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from bufferx_tpu.kernels import fps, neighbors, radius, voxel
 

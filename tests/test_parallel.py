@@ -18,7 +18,6 @@ from bufferx_tpu.parallel import (
 )
 from bufferx_tpu.parallel.posegraph import chain_initialization
 from bufferx_tpu.pipeline.registration import (
-    Cloud,
     PipelineStatics,
     init_params,
     prepare_cloud,

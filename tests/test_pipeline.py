@@ -6,7 +6,6 @@ and the solver must recover the pose (SURVEY §4: synthetic-pair recall 1.0).
 Small capacities keep CPU runtime tolerable.
 """
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

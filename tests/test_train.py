@@ -11,14 +11,12 @@ from bufferx_tpu.data.training import build_training_batch, synthetic_training_s
 from bufferx_tpu.data.modelnet import synthetic_pair_full_overlap
 from bufferx_tpu.pipeline.registration import init_params
 from bufferx_tpu.train.forward import (
-    TrainStatics,
     cal_so2_gt,
     sample_gt_correspondences,
 )
 from bufferx_tpu.train.losses import contrastive_loss, huber_loss, so2_cross_entropy
 from bufferx_tpu.train.trainer import (
     compose_staged_params,
-    load_params,
     make_optimizer,
     make_train_step,
     save_params,
@@ -313,8 +311,6 @@ class TestExtraLosses:
 
 class TestUNetBackbone:
     def test_shapes(self, rng):
-        import flax.linen as nn
-
         from bufferx_tpu.models.layers import CylindricalUNet
 
         model = CylindricalUNet(dim=32)
