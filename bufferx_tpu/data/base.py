@@ -127,15 +127,15 @@ class PairDataset:
         """Adaptive (test) voxel downsampling + max-point cap."""
         cfg = self.cfg
         if self.split == "test":
-            voxel, sph, aligned = sphericity_based_voxel_analysis(
+            voxel, sph, _pca_aligned = sphericity_based_voxel_analysis(
                 src_raw, tgt_raw, self.rng
             )
         else:
-            voxel, sph, aligned = (
-                cfg.data.downsample,
-                0.0,
-                cfg.patch.is_aligned_to_global_z,
-            )
+            voxel, sph = cfg.data.downsample, 0.0
+        # the reference discards the PCA alignment verdict and uses the
+        # config profile's flag (dataset/threedmatch.py:83-86,
+        # kitti.py:123-126) — outdoor datasets assert gravity alignment
+        aligned = cfg.patch.is_aligned_to_global_z
         src = voxel_downsample_np(src_raw, voxel)
         tgt = voxel_downsample_np(tgt_raw, voxel)
         cap = cfg.data.max_num_pts

@@ -208,8 +208,13 @@ class _OdometryDataset(PairDataset):
 
     def __init__(self, cfg: Config, split: str = "test"):
         super().__init__(cfg, split)
+        last_err = None
         for seq in self.sequences(split):
-            poses = self.odometry(seq)              # [T, 4, 4] world<-scan
+            try:
+                poses = self.odometry(seq)          # [T, 4, 4] world<-scan
+            except FileNotFoundError as e:
+                last_err = e                        # partial download: skip
+                continue
             if poses is None or not len(poses):
                 continue
             idx_pairs = walk_odometry_pairs(
@@ -217,6 +222,8 @@ class _OdometryDataset(PairDataset):
             )
             for i, j in idx_pairs:
                 self.pairs.append((seq, i, j, poses[i], poses[j]))
+        if not self.pairs and last_err is not None:
+            raise last_err
 
     # hooks ------------------------------------------------------------
     def sequences(self, split: str) -> List[str]:
@@ -284,7 +291,10 @@ class KITTIDataset(_OdometryDataset):
         _require(path, "kitti/{dataset/,}poses/NN.txt + sequences/NN/velodyne")
         cam = self._kitti_pose_file(path)
         v2c = self.velo2cam()
-        # world<-velo = cam_pose @ velo2cam  (reference :84-90 conjugation)
+        # world<-velo = cam_pose @ velo2cam: the reference's transposed
+        # expression (kitti.py:86-91) simplifies to
+        # relt = V^-1 P1^-1 P0 V with V = velo->cam, i.e. exactly
+        # inv(P1 V) @ (P0 V) — our generic inv(Tj) @ Ti with T = P V.
         return np.einsum("tij,jk->tik", cam, v2c)
 
     def scan_path(self, seq, t):
@@ -294,10 +304,10 @@ class KITTIDataset(_OdometryDataset):
         return join(base, f"{int(seq):02d}", "velodyne", f"{t:06d}.bin")
 
     def velo2cam(self) -> np.ndarray:
-        """Fixed velodyne->camera extrinsics (``dataset/kitti.py:198-219``).
-        Note the reference returns the TRANSPOSE of the homogeneous matrix
-        and uses it consistently; we keep the plain matrix and conjugate
-        consistently instead."""
+        """Fixed velodyne->camera extrinsics V (``dataset/kitti.py:198-219``).
+        The reference stores Vᵀ and conjugates with transposes; expanding its
+        ``(Vᵀ P0ᵀ inv(P1ᵀ) inv(Vᵀ))ᵀ`` gives ``V⁻¹ P1⁻¹ P0 V`` — we keep the
+        plain V and fold it into the odometry instead."""
         if self._velo2cam is None:
             R = np.array(
                 [
@@ -310,7 +320,7 @@ class KITTIDataset(_OdometryDataset):
             M = np.eye(4)
             M[:3, :3] = R
             M[:3, 3] = T
-            self._velo2cam = np.linalg.inv(M)  # cam->velo ... see docstring
+            self._velo2cam = M
         return self._velo2cam
 
     def refine_gt(self, seq, i, j, src, tgt, relt):

@@ -135,3 +135,38 @@ class TestRegisterPair:
         assert int(res.scales_used) in (1, 2)
         rte = float(se3.compute_rte(res.pose, jnp.asarray(T_gt)))
         assert rte < cfg.test.rte_thresh
+
+    def test_outdoor_global_z_path(self, cfg_params):
+        # outdoor branch: is_aligned_to_global_z=True skips the LRF (R=I);
+        # a planar LiDAR-like scene under a pure yaw+translation must register
+        cfg, params = cfg_params
+        statics = PipelineStatics.from_config(cfg)
+        rs = np.random.RandomState(11)
+        # flat-world scene with vertical structures (z-up preserved)
+        ground = rs.randn(2000, 3).astype(np.float32) * [4, 4, 0.05]
+        posts = []
+        for _ in range(8):
+            base = rs.uniform(-3, 3, 2)
+            h = rs.uniform(0.5, 1.5)
+            n = 100
+            posts.append(np.stack([
+                np.full(n, base[0]) + rs.randn(n).astype(np.float32) * 0.05,
+                np.full(n, base[1]) + rs.randn(n).astype(np.float32) * 0.05,
+                rs.uniform(0, h, n),
+            ], axis=-1).astype(np.float32))
+        scene = np.concatenate([ground] + posts)
+        yaw = 0.6
+        c, s = np.cos(yaw), np.sin(yaw)
+        T_gt = np.eye(4, dtype=np.float32)
+        T_gt[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+        T_gt[:3, 3] = [1.0, -0.5, 0.02]
+        src_pts = scene + rs.randn(*scene.shape).astype(np.float32) * 0.002
+        tgt_pts = (scene @ T_gt[:3, :3].T + T_gt[:3, 3]).astype(np.float32)
+        src = prepare_cloud(src_pts, cfg, seed=5)
+        tgt = prepare_cloud(tgt_pts, cfg, seed=5)
+        res = register_pair_jit(
+            params, statics, src, tgt, jnp.asarray(True), jax.random.PRNGKey(2)
+        )
+        rte = float(se3.compute_rte(res.pose, jnp.asarray(T_gt)))
+        rre = float(se3.compute_rre(res.pose, jnp.asarray(T_gt)))
+        assert rte < 0.3 and rre < 15.0, (rte, rre)
