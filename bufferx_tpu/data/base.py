@@ -29,6 +29,7 @@ __all__ = [
     "write_trajectory_log",
     "read_trajectory_info",
     "walk_odometry_pairs",
+    "compute_overlap_ratio",
     "PairDataset",
 ]
 
@@ -99,6 +100,24 @@ def walk_odometry_pairs(
         pair_idx += 1
         i = j
     return pairs
+
+
+def compute_overlap_ratio(
+    src: np.ndarray, tgt: np.ndarray, relt_pose: np.ndarray,
+    voxel_size: float,
+):
+    """Bidirectional overlap fractions at a voxel scale (reference
+    ``utils/tools.py:217-225``): fraction of downsampled points with a
+    within-voxel neighbor in the other (pose-aligned) cloud."""
+    from scipy.spatial import cKDTree
+
+    s = voxel_downsample_np(np.asarray(src, np.float32), voxel_size)
+    t = voxel_downsample_np(np.asarray(tgt, np.float32), voxel_size)
+    T = np.asarray(relt_pose)
+    s_warp = s @ T[:3, :3].T + T[:3, 3]
+    d0, _ = cKDTree(t).query(s_warp)
+    d1, _ = cKDTree(s_warp).query(t)
+    return float((d0 < voxel_size).mean()), float((d1 < voxel_size).mean())
 
 
 class PairDataset:

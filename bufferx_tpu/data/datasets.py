@@ -441,29 +441,78 @@ class TIERSDataset(_OdometryDataset):
 
 
 class _HeteroDataset(PairDataset):
-    """Cross-sensor pairs: same trajectory location seen by two different
-    sensors (``dataset/tiers.py:193-309`` / ``kaist.py:163-203``). Pairs are
-    emitted at odometry-walk points of the source sensor, matched to the
-    nearest-in-position scan of the target sensor."""
+    """Cross-sensor pairs (``dataset/tiers.py:193-309`` / ``kaist.py``):
+    walk the source sensor's trajectory; for each frame, take the first
+    target-sensor frame (within a 100-frame window) whose position is more
+    than ``pdist`` away; gate by bidirectional overlap ratio
+    (max(o0, o1) > overlap_thresh, voxel 0.1 — tiers_hetero_config.py:21-24)
+    and cache the computed pair list like the reference."""
+
+    OVERLAP_VOXEL = 0.1
+    OVERLAP_THRESH = 0.3
 
     def __init__(self, cfg: Config, split: str, src_sensor: str,
                  tgt_sensor: str):
         super().__init__(cfg, split)
         self.src_sensor = src_sensor
         self.tgt_sensor = tgt_sensor
+        from bufferx_tpu.data.base import compute_overlap_ratio
+
+        cache = join(
+            cfg.data.root, "overlap_pairs",
+            f"{src_sensor}_to_{tgt_sensor}_overlap_pairs.npy",
+        )
+        if os.path.exists(cache):
+            raw = np.load(cache, allow_pickle=True)
+            for seq, i, j, Ti, Tj, o0, o1 in raw:
+                if max(o0, o1) > self.OVERLAP_THRESH:
+                    self.pairs.append((seq, int(i), int(j), Ti, Tj))
+            return
+        records = []
         for seq in self.sequence_list():
             src_poses = self.sensor_odometry(seq, src_sensor)
             tgt_poses = self.sensor_odometry(seq, tgt_sensor)
             if src_poses is None or tgt_poses is None:
                 continue
-            for i, _ in walk_odometry_pairs(
-                src_poses[:, :3, 3], cfg.data.pdist
-            ):
+            n = min(len(src_poses), len(tgt_poses))
+            cur = 0
+            while cur < n:
                 d = np.linalg.norm(
-                    tgt_poses[:, :3, 3] - src_poses[i, :3, 3], axis=-1
+                    tgt_poses[cur : cur + 100, :3, 3]
+                    - src_poses[cur, :3, 3],
+                    axis=-1,
                 )
-                j = int(np.argmin(d))
-                self.pairs.append((seq, i, j, src_poses[i], tgt_poses[j]))
+                hits = np.where(d > cfg.data.pdist)[0]
+                if len(hits) == 0:
+                    cur += 1
+                    continue
+                j = cur + int(hits[0])
+                if j >= n:
+                    break
+                relt = np.linalg.inv(tgt_poses[j]) @ src_poses[cur]
+                try:
+                    src = read_points(
+                        self.sensor_scan_path(seq, src_sensor, cur)
+                    )
+                    tgt = read_points(
+                        self.sensor_scan_path(seq, tgt_sensor, j)
+                    )
+                    o0, o1 = compute_overlap_ratio(
+                        src, tgt, relt, self.OVERLAP_VOXEL
+                    )
+                except FileNotFoundError:
+                    o0 = o1 = 1.0
+                records.append(
+                    (seq, cur, j, src_poses[cur], tgt_poses[j], o0, o1)
+                )
+                cur = j + 1
+        if records:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            np.save(cache, np.asarray(records, dtype=object),
+                    allow_pickle=True)
+        for seq, i, j, Ti, Tj, o0, o1 in records:
+            if max(o0, o1) > self.OVERLAP_THRESH:
+                self.pairs.append((seq, i, j, Ti, Tj))
 
     def sequence_list(self):
         raise NotImplementedError

@@ -165,3 +165,53 @@ class TestHarnessBatched:
         out = evaluate_pairs_batched(cfg, samples, params, batch_size=2)
         assert out["num_pairs"] == 4
         assert 0.0 <= out["recall"] <= 1.0
+
+
+class TestVis:
+    def test_ply_roundtrip_and_correspondences(self, tmp_path):
+        from bufferx_tpu.data.io import read_ply
+        from bufferx_tpu.utils.vis import (
+            export_registration,
+            save_correspondences_ply,
+            save_ply,
+        )
+
+        rs = np.random.RandomState(0)
+        pts = rs.randn(50, 3).astype(np.float32)
+        p = save_ply(str(tmp_path / "c.ply"), pts, [255, 0, 0])
+        got = read_ply(p)
+        np.testing.assert_allclose(got, pts, atol=1e-6)
+
+        save_correspondences_ply(
+            str(tmp_path / "corr.ply"), pts[:10], pts[:10] + 1,
+            np.arange(10) % 2 == 0,
+        )
+        assert (tmp_path / "corr.ply").stat().st_size > 0
+
+        out = export_registration(
+            str(tmp_path / "reg"), pts, pts + 0.5, np.eye(4),
+            src_kpts=pts[:5], tgt_kpts=pts[:5],
+        )
+        import os
+        assert set(os.listdir(out)) >= {
+            "src.ply", "tgt.ply", "src_aligned.ply", "correspondences.ply"
+        }
+
+
+class TestProgress:
+    def test_display_names_and_line(self, capsys):
+        import io
+
+        from bufferx_tpu.utils.progress import ProgressLine, display_name
+
+        assert display_name("WOD") == "Waymo"
+        assert display_name("TIERS_hetero", "os0_128", "os1_64").endswith(
+            "os0_128->os1_64"
+        )
+        buf = io.StringIO()
+        line = ProgressLine("KITTI", total=5, stream=buf)
+        line.update(0, 1.0, 0.01, 0.1, True, "a")
+        line.update(1, 0.5, 9.9, 99.0, False, "b")
+        line.finish()
+        out = buf.getvalue()
+        assert "KITTI" in out and "[fail]" in out
