@@ -32,23 +32,31 @@ __all__ = ["density_aware_radius"]
 def _bisect_quantile(
     d2: jnp.ndarray,
     weights: jnp.ndarray,
-    target_count: jnp.ndarray,
+    target_counts: jnp.ndarray,   # [T]
     min_r: float,
     max_r: float,
     num_iters: int = 12,
 ) -> jnp.ndarray:
-    """Find r with sum(weights[d2 < r²]) ≈ target_count by bisection."""
+    """Find r_i with sum(weights[d2 < r_i²]) ≈ target_counts[i], all
+    thresholds jointly: each bisection round reads ``d2`` once and counts
+    against every mid (the [K, N] matrix is ~240 MB at production shapes —
+    one fused pass per round instead of one per threshold)."""
+    t = target_counts.shape[0]
 
     def body(_, bounds):
         low, high = bounds
-        mid = 0.5 * (low + high)
-        count = jnp.sum(jnp.where(d2 < mid * mid, weights, 0.0))
-        low = jnp.where(count < target_count, mid, low)
-        high = jnp.where(count >= target_count, mid, high)
+        mid = 0.5 * (low + high)                            # [T]
+        below = d2[..., None] < mid * mid                   # [K, N, T]
+        counts = jnp.sum(
+            jnp.where(below, weights[..., None], 0.0), axis=(0, 1)
+        )                                                   # [T]
+        low = jnp.where(counts < target_counts, mid, low)
+        high = jnp.where(counts >= target_counts, mid, high)
         return low, high
 
     low, high = jax.lax.fori_loop(
-        0, num_iters, body, (jnp.float32(min_r), jnp.float32(max_r))
+        0, num_iters, body,
+        (jnp.full((t,), min_r, jnp.float32), jnp.full((t,), max_r, jnp.float32)),
     )
     return 0.5 * (low + high)
 
@@ -76,9 +84,8 @@ def density_aware_radius(
         jnp.sum(kpts_mask.astype(jnp.float32))
         * jnp.sum(pts_mask.astype(jnp.float32))
     )
-    radii = []
-    for th in thresholds:
-        target = th / 100.0 * total
-        r = _bisect_quantile(d2, w, target, 0.0, max_r)
-        radii.append(jnp.round(r * 100.0) / 100.0)
-    return jnp.stack(radii)
+    targets = jnp.asarray(
+        [th / 100.0 for th in thresholds], jnp.float32
+    ) * total
+    r = _bisect_quantile(d2, w, targets, 0.0, max_r)
+    return jnp.round(r * 100.0) / 100.0

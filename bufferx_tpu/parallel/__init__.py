@@ -1,3 +1,8 @@
+from bufferx_tpu.parallel.bundle import (  # noqa: F401
+    LandmarkGraph,
+    bundle_adjust,
+    robust_weight,
+)
 from bufferx_tpu.parallel.mesh import make_mesh  # noqa: F401
 from bufferx_tpu.parallel.posegraph import (  # noqa: F401
     PoseGraph,

@@ -100,8 +100,25 @@ def _accumulate_normal_eqs(delta, poses, graph: PoseGraph, num_poses: int):
     return JTJ, JTr
 
 
+def _robust_factor_weights(poses, graph: PoseGraph, robust: str,
+                           scale: float) -> jnp.ndarray:
+    """IRLS reweighting of factor weights from current residual norms."""
+    from bufferx_tpu.parallel.bundle import robust_weight
+
+    delta0 = jnp.zeros((poses.shape[0], 6), poses.dtype)
+    r = jax.vmap(
+        lambda ei, ej, tm: _factor_residual(
+            delta0, poses, ei, ej, tm, jnp.float32(1.0)
+        )
+    )(graph.edges_i, graph.edges_j, graph.t_meas)          # [E, 12]
+    return graph.weights * robust_weight(
+        jnp.linalg.norm(r, axis=-1), robust, scale
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("num_poses", "num_iters", "mesh", "axis")
+    jax.jit,
+    static_argnames=("num_poses", "num_iters", "mesh", "axis", "robust"),
 )
 def pose_graph_gauss_newton(
     graph: PoseGraph,
@@ -112,18 +129,23 @@ def pose_graph_gauss_newton(
     anchor_weight: float = 1e6,
     mesh: Mesh | None = None,
     axis: str = "fp",
+    robust: str = "none",
+    robust_scale: float = 1.0,
 ) -> jnp.ndarray:
     """GN refinement of all frame poses. Returns [K, 4, 4].
 
     With ``mesh``, factors are sharded over ``axis`` and the normal
     equations are psum-accumulated (pad E to a multiple of the mesh size
-    with weight-0 factors).
+    with weight-0 factors). ``robust`` ("huber" / "gm") applies IRLS
+    reweighting of factors from their chordal residual norms each
+    iteration — outlier loop closures get down-weighted instead of
+    dragging the solution.
     """
     k6 = num_poses * 6
 
-    def normal_eqs(delta, poses):
+    def normal_eqs(delta, poses, g: PoseGraph):
         if mesh is None:
-            return _accumulate_normal_eqs(delta, poses, graph, num_poses)
+            return _accumulate_normal_eqs(delta, poses, g, num_poses)
 
         def local(ei, ej, tm, w):
             JTJ, JTr = _accumulate_normal_eqs(
@@ -137,11 +159,16 @@ def pose_graph_gauss_newton(
             in_specs=(spec, spec, spec, spec),
             out_specs=(P(), P()),
             check_vma=False,
-        )(graph.edges_i, graph.edges_j, graph.t_meas, graph.weights)
+        )(g.edges_i, g.edges_j, g.t_meas, g.weights)
 
     def gn_iter(_, poses):
         delta0 = jnp.zeros((num_poses, 6), poses.dtype)
-        JTJ, JTr = normal_eqs(delta0, poses)
+        g = graph
+        if robust != "none":
+            g = g._replace(
+                weights=_robust_factor_weights(poses, g, robust, robust_scale)
+            )
+        JTJ, JTr = normal_eqs(delta0, poses, g)
         # gauge: anchor frame 0 (prior on its 6 increment dims)
         anchor = jnp.zeros(k6).at[:6].set(anchor_weight)
         JTJ = JTJ + jnp.diag(anchor + damping)
