@@ -143,7 +143,34 @@ def main() -> int:
         f"{ee_pps:.3f} pairs/s; scales used {exits}")
     log(f"sanity RTE early-exit: median {np.median(rtes_ee):.3f} m")
 
-    pairs_per_s = max(full_pps, ee_pps)
+    # batched serving mode (TPU-native: vmap over pairs, two-phase early
+    # exit). Same per-pair work and quality; amortizes weight traffic and
+    # dispatch. The reference has no counterpart (B hard-pinned to 1).
+    from bufferx_tpu.pipeline.registration import register_pairs_batched
+
+    bsz = 4
+    srcs = [p[0] for p in pairs]
+    tgts = [p[1] for p in pairs]
+    _ = register_pairs_batched(          # compile both phases
+        cfg_ee, srcs[:bsz], tgts[:bsz], jax.random.PRNGKey(9), params,
+        False, batch_size=bsz,
+    )
+    t0 = time.perf_counter()
+    res_b = register_pairs_batched(
+        cfg_ee, srcs[NUM_WARMUP:], tgts[NUM_WARMUP:], key, params, False,
+        batch_size=bsz,
+    )
+    rtes_b = [
+        float(se3.compute_rte(r.pose, jnp.asarray(pairs[NUM_WARMUP + i][2])))
+        for i, r in enumerate(res_b)
+    ]
+    elapsed_b = time.perf_counter() - t0
+    b_pps = NUM_TIMED / elapsed_b
+    log(f"batched(B={bsz}): {NUM_TIMED} pairs in {elapsed_b:.2f}s -> "
+        f"{b_pps:.3f} pairs/s")
+    log(f"sanity RTE batched: median {np.median(rtes_b):.3f} m")
+
+    pairs_per_s = max(full_pps, ee_pps, b_pps)
 
     print(
         json.dumps(

@@ -44,17 +44,18 @@ def grid_cell_centers(rad_n: int, ele_n: int, azi_n: int) -> np.ndarray:
 
 
 def _cell_query_one(
-    patch: jnp.ndarray,       # [P, 3] normalized patch offsets
+    patch: jnp.ndarray,       # [P, 3] normalized patch offsets, rows in
+                              # random order (see spt_pallas docstring)
     patch_mask: jnp.ndarray,  # [P]
     cells: jnp.ndarray,       # [G, 3]
-    noise: jnp.ndarray,       # [P] per-point random priority (shared
-                              # across cells — mirrors the reference's
-                              # shuffle-once-then-ball-query order)
     radius: float,
     nsample: int,
     use_approx: bool,
 ):
-    """Up to ``nsample`` random in-radius points per grid cell, zero-filled."""
+    """First ``nsample`` in-radius points per grid cell (row order),
+    zero-filled. Row order is the selection priority: patch rows arrive
+    uniformly shuffled, so this is the reference's shuffle-once-then-
+    ball-query random subset (``utils/common.py:431-460``)."""
     d2 = (
         jnp.sum(cells * cells, axis=-1, keepdims=True)
         - 2.0
@@ -62,13 +63,17 @@ def _cell_query_one(
         + jnp.sum(patch * patch, axis=-1)[None, :]
     )
     in_r = (d2 <= radius * radius) & patch_mask[None, :]
-    scores = jnp.where(in_r, noise[None, :], -jnp.inf)
+    p = patch.shape[0]
+    # priority = descending row index: top-k picks the earliest rows
+    prio = -jnp.arange(p, dtype=jnp.float32)[None, :]
+    scores = jnp.where(in_r, prio, -jnp.inf)
     if use_approx:
         # bitonic approx top-k: ~50x cheaper than the full per-cell sort
         vals, idx = jax.lax.approx_max_k(scores, nsample, recall_target=0.95)
     else:
         vals, idx = jax.lax.top_k(scores, nsample)          # [G, ns]
     valid = vals > -jnp.inf
+    idx = jnp.where(valid, idx, 0)
     gathered = patch[idx]                                    # [G, ns, 3]
     return jnp.where(valid[..., None], gathered, 0.0)
 
@@ -80,9 +85,9 @@ def _cell_query_one(
     ),
 )
 def spatial_point_transformer(
-    patches: jnp.ndarray,       # [K, P, 3] normalized (unit-radius) offsets
+    patches: jnp.ndarray,       # [K, P, 3] normalized (unit-radius) offsets,
+                                # rows in random order
     patches_mask: jnp.ndarray,  # [K, P]
-    key: jax.Array,
     rad_n: int,
     ele_n: int,
     azi_n: int,
@@ -94,43 +99,43 @@ def spatial_point_transformer(
     """SPT: scatter each patch onto the cylindrical grid and derotate.
 
     Equivalent of ``MiniSpinNet.SPT`` (``models/patch_embedder.py:150-165``):
-    per grid cell, sample up to ``nsample`` in-radius patch points (radius =
-    delta / rad_n on the unit patch), zero out empties, then rotate each
-    azimuth column into the invariant frame. Returns [K, G, nsample, 3].
+    per grid cell, take the first ``nsample`` in-radius patch points in row
+    order (radius = delta / rad_n on the unit patch) — patch rows arrive
+    uniformly shuffled from the patch extraction, so this reproduces the
+    reference's shuffle-once-then-ball-query random subset — zero out
+    empties, then rotate each azimuth column into the invariant frame.
+    Returns [K, G, nsample, 3].
     """
     k, p = patches.shape[0], patches.shape[1]
     cells = jnp.asarray(grid_cell_centers(rad_n, ele_n, azi_n))
     g = cells.shape[0]
     radius = delta / rad_n
-    noise = jax.random.uniform(key, (k, p))
 
     if jax.default_backend() == "tpu" and nsample * 8 <= 128:
         from bufferx_tpu.geometry.spt_pallas import spt_cell_query_pallas
 
         out = spt_cell_query_pallas(
-            patches, patches_mask, noise, cells, radius, nsample
+            patches, patches_mask, cells, radius, nsample
         )
         return var_to_invar(out, rad_n, ele_n, azi_n)
 
     def run_chunk(args):
-        pa, ma, no = args
+        pa, ma = args
         return jax.vmap(
-            lambda pp, mm, nn: _cell_query_one(
-                pp, mm, cells, nn, radius, nsample, use_approx
+            lambda pp, mm: _cell_query_one(
+                pp, mm, cells, radius, nsample, use_approx
             )
-        )(pa, ma, no)
+        )(pa, ma)
 
     n_chunks = (k + chunk - 1) // chunk
     pad = n_chunks * chunk - k
     pa = jnp.pad(patches, ((0, pad), (0, 0), (0, 0)))
     ma = jnp.pad(patches_mask, ((0, pad), (0, 0)))
-    no = jnp.pad(noise, ((0, pad), (0, 0)))
     out = jax.lax.map(
         run_chunk,
         (
             pa.reshape(n_chunks, chunk, p, 3),
             ma.reshape(n_chunks, chunk, p),
-            no.reshape(n_chunks, chunk, p),
         ),
     ).reshape(n_chunks * chunk, g, nsample, 3)[:k]
     return var_to_invar(out, rad_n, ele_n, azi_n)

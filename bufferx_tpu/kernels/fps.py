@@ -110,6 +110,79 @@ def _fps_kernel(xyz_ref, mind0_ref, idx_ref, mind_ref, *, num_samples: int):
     jax.lax.fori_loop(0, num_samples, body, 0)
 
 
+def _fps_kernel_grid(xyz_ref, mind0_ref, idx_ref, mind_ref, *,
+                     num_samples: int):
+    """Grid-over-batch variant: per-program [8, Np] blocks, whole [B, Kp]
+    SMEM output shared across the (sequential) grid — program b writes
+    row b."""
+    b = pl.program_id(0)
+    mind_ref[:, :] = mind0_ref[:, :]
+    n_pad = mind_ref.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+
+    def body(i, _):
+        mind = mind_ref[0:1, :]
+        m = jnp.max(mind)
+        sel = jnp.min(jnp.where(mind == m, iota, n_pad))
+        idx_ref[b, i] = sel
+        onehot = (iota == sel).astype(xyz_ref.dtype)
+        x = jnp.sum(xyz_ref[0:1, :] * onehot)
+        y = jnp.sum(xyz_ref[1:2, :] * onehot)
+        z = jnp.sum(xyz_ref[2:3, :] * onehot)
+        d = (
+            (xyz_ref[0:1, :] - x) ** 2
+            + (xyz_ref[1:2, :] - y) ** 2
+            + (xyz_ref[2:3, :] - z) ** 2
+        )
+        mind_ref[0:1, :] = jnp.minimum(mind, d)
+        return 0
+
+    jax.lax.fori_loop(0, num_samples, body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_fps(num_samples: int, n_pad: int, k_pad: int, dtype_name: str):
+    """The raw pallas call wrapped with a vmap rule (vmap cannot auto-lift
+    the SMEM index output; batching instead becomes a grid dimension)."""
+    dtype = jnp.dtype(dtype_name)
+
+    @jax.custom_batching.custom_vmap
+    def run(xyz_t, mind0):
+        return pl.pallas_call(
+            functools.partial(_fps_kernel, num_samples=num_samples),
+            out_shape=jax.ShapeDtypeStruct((k_pad,), jnp.int32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            scratch_shapes=[pltpu.VMEM((8, n_pad), dtype)],
+        )(xyz_t, mind0)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, xyz_t, mind0):  # noqa: ANN001
+        if not in_batched[0]:
+            xyz_t = jnp.broadcast_to(xyz_t, (axis_size,) + xyz_t.shape)
+        if not in_batched[1]:
+            mind0 = jnp.broadcast_to(mind0, (axis_size,) + mind0.shape)
+        idx = pl.pallas_call(
+            functools.partial(_fps_kernel_grid, num_samples=num_samples),
+            grid=(axis_size,),
+            out_shape=jax.ShapeDtypeStruct((axis_size, k_pad), jnp.int32),
+            in_specs=[
+                pl.BlockSpec((None, 8, n_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 8, n_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            scratch_shapes=[pltpu.VMEM((8, n_pad), dtype)],
+        )(xyz_t, mind0)
+        return idx, True
+
+    return run
+
+
 @functools.partial(jax.jit, static_argnames=("num_samples",))
 def farthest_point_sampling_pallas(
     xyz: jnp.ndarray, mask: jnp.ndarray, num_samples: int
@@ -125,15 +198,7 @@ def farthest_point_sampling_pallas(
     mind0 = jnp.full((8, n_pad), -1.0, xyz.dtype)
     mind0 = mind0.at[0, :n].set(jnp.where(mask, jnp.inf, -1.0).astype(xyz.dtype))
 
-    idx = pl.pallas_call(
-        functools.partial(_fps_kernel, num_samples=num_samples),
-        out_shape=jax.ShapeDtypeStruct((k_pad,), jnp.int32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        scratch_shapes=[pltpu.VMEM((8, n_pad), xyz.dtype)],
-    )(xyz_t, mind0)[:num_samples]
+    run = _pallas_fps(num_samples, n_pad, k_pad, xyz.dtype.name)
+    idx = run(xyz_t, mind0)[:num_samples]
 
     return _finalize(idx, mask, num_samples)

@@ -59,6 +59,8 @@ __all__ = [
     "register_pair",
     "register_pair_jit",
     "register_pair_early_exit",
+    "register_pairs_batched",
+    "stack_clouds",
 ]
 
 
@@ -191,8 +193,7 @@ def _embed_two(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
     Patch extraction/LRF/SPT are per-keypoint ops, and the conv net is
     weight-bound at these batch sizes — stacking src and tgt (2K patches)
     costs the same math but loads the weights once."""
-    k1, k2 = jax.random.split(key)
-    ks1, ks2 = jax.random.split(k1)
+    ks1, ks2 = jax.random.split(key)
     sp, sm = select_patches(
         src.xyz, src.mask, src_kpts, des_r, ks1, statics.patch_sample
     )
@@ -206,7 +207,7 @@ def _embed_two(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
     aligned, _rand_axis, R = align_patches(delta, kpts, is_aligned)
     normed = aligned / des_r
     inv = spatial_point_transformer(
-        normed, pmask, k2,
+        normed, pmask,
         rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
         delta=statics.delta, nsample=statics.voxel_sample,
         chunk=statics.sphere_chunk,
@@ -218,15 +219,14 @@ def _embed_two(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
 def _embed(params, statics: PipelineStatics, cloud: Cloud, kpts, des_r,
            is_aligned, key, desc_model):
     """Keypoints -> (desc [K, 32], equi [K, C, ele, azi], R [K, 3, 3])."""
-    k1, k2 = jax.random.split(key)
     patches, pmask = select_patches(
-        cloud.xyz, cloud.mask, kpts, des_r, k1, statics.patch_sample
+        cloud.xyz, cloud.mask, kpts, des_r, key, statics.patch_sample
     )
     delta = patches - kpts[:, None, :]
     aligned, _rand_axis, R = align_patches(delta, kpts, is_aligned)
     normed = aligned / des_r
     inv = spatial_point_transformer(
-        normed, pmask, k2,
+        normed, pmask,
         rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
         delta=statics.delta, nsample=statics.voxel_sample,
         chunk=statics.sphere_chunk,
@@ -420,6 +420,85 @@ def register_pair(
     return register_pair_jit(
         params, statics, src, tgt, jnp.asarray(is_aligned), key
     )
+
+
+@functools.partial(jax.jit, static_argnames=("statics", "scales"))
+def _register_batch_jit(params, statics, src, tgt, aligned, keys, scales):
+    return jax.vmap(
+        lambda s, t, a, k: register_pair_jit(
+            params, statics, s, t, a, k, scales=scales
+        )
+    )(src, tgt, aligned, keys)
+
+
+def stack_clouds(clouds: list) -> Cloud:
+    """[Cloud, ...] -> Cloud with a leading batch axis."""
+    return Cloud(
+        xyz=jnp.stack([c.xyz for c in clouds]),
+        mask=jnp.stack([c.mask for c in clouds]),
+    )
+
+
+def register_pairs_batched(
+    cfg: Config,
+    srcs: list,
+    tgts: list,
+    key: jax.Array,
+    params: Any,
+    is_aligned: bool | jnp.ndarray,
+    batch_size: int = 4,
+) -> list:
+    """Batched serving mode: registers ``len(srcs)`` pairs at fixed batch
+    size with two-phase early exit.
+
+    TPU-first counterpart of the reference's one-pair-at-a-time loop
+    (``test.py:132-146``): phase 1 runs scale 0 for the whole batch in one
+    program (vmap over the jitted pipeline); pairs that fail the
+    early-exit confidence check are re-run through the full multi-scale
+    program, padded back up to ``batch_size`` so both phases reuse one
+    compiled executable each. Returns a list of RegistrationResult.
+    """
+    statics = dataclasses.replace(
+        PipelineStatics.from_config(cfg), enable_early_exit=False
+    )
+    n = len(srcs)
+    all_scales = tuple(range(statics.num_scales))
+    aligned = jnp.broadcast_to(jnp.asarray(is_aligned), (batch_size,))
+    results: list = [None] * n
+
+    for start in range(0, n, batch_size):
+        idx = list(range(start, min(start + batch_size, n)))
+        pad = [idx[-1]] * (batch_size - len(idx))
+        take = idx + pad
+        sb = stack_clouds([srcs[i] for i in take])
+        tb = stack_clouds([tgts[i] for i in take])
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, batch_size)
+        res0 = _register_batch_jit(
+            params, statics, sb, tb, aligned, keys, (0,)
+        )
+        inl = np.asarray(res0.num_inliers)
+        redo = [
+            j for j, i in enumerate(idx)
+            if inl[j] < statics.early_exit_min_inliers
+        ]
+        res_full = None
+        if redo:
+            take2 = [idx[0] + 0] * batch_size
+            for slot, j in enumerate(redo):
+                take2[slot] = idx[j]
+            sb2 = stack_clouds([srcs[i] for i in take2])
+            tb2 = stack_clouds([tgts[i] for i in take2])
+            res_full = _register_batch_jit(
+                params, statics, sb2, tb2, aligned, keys, all_scales
+            )
+        for j, i in enumerate(idx):
+            if j in redo and res_full is not None:
+                slot = redo.index(j)
+                results[i] = jax.tree.map(lambda x: x[slot], res_full)
+            else:
+                results[i] = jax.tree.map(lambda x: x[j], res0)
+    return results
 
 
 def register_pair_early_exit(

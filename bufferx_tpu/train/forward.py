@@ -122,7 +122,7 @@ def embed_training(
     here we keep BN in inference mode inside the loss and update stats in
     the train step wrapper.
     """
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k3 = jax.random.split(key)
     patches, pmask = select_patches(
         cloud_xyz, cloud_mask, kpts, des_r, k1, statics.patch_sample
     )
@@ -141,7 +141,7 @@ def embed_training(
     rand_axis = jnp.einsum("ki,kji->kj", rand_axis, aug_R, precision=hp)
 
     inv = spatial_point_transformer(
-        aligned, pmask, k2,
+        aligned, pmask,
         rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
         delta=statics.delta, nsample=statics.voxel_sample,
         chunk=statics.sphere_chunk,

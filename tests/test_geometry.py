@@ -53,7 +53,7 @@ class TestSPT:
         patch = (rng.randn(K, P, 3) * 0.4).astype(np.float32)
         mask = np.ones((K, P), bool)
         out = cylindrical.spatial_point_transformer(
-            jnp.asarray(patch), jnp.asarray(mask), jax.random.PRNGKey(0),
+            jnp.asarray(patch), jnp.asarray(mask),
             rad_n=3, ele_n=7, azi_n=20, delta=0.8, nsample=10, chunk=4,
         )
         assert out.shape == (K, 3 * 7 * 20, 10, 3)
@@ -82,7 +82,7 @@ class TestSPT:
 
         def counts(p):
             out = cylindrical.spatial_point_transformer(
-                jnp.asarray(p), jnp.asarray(mask), jax.random.PRNGKey(1),
+                jnp.asarray(p), jnp.asarray(mask),
                 rad_n=3, ele_n=7, azi_n=azi_n, delta=0.8, nsample=10, chunk=1,
             )
             occ = (np.abs(np.asarray(out)).sum(-1) > 0).sum(-1)  # [K, G]

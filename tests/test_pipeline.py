@@ -170,3 +170,40 @@ class TestRegisterPair:
         rte = float(se3.compute_rte(res.pose, jnp.asarray(T_gt)))
         rre = float(se3.compute_rre(res.pose, jnp.asarray(T_gt)))
         assert rte < 0.3 and rre < 15.0, (rte, rre)
+
+
+class TestRegisterPairsBatched:
+    def test_two_phase_serving(self, cfg_params):
+        from bufferx_tpu.pipeline.registration import register_pairs_batched
+
+        cfg, params = cfg_params
+        srcs, tgts, gts = [], [], []
+        for i in range(5):   # 5 pairs, batch 4 -> exercises padding
+            rs = np.random.RandomState(200 + i)
+            s, t, T = synthetic_pair_full_overlap(rs, num_points=3000)
+            srcs.append(prepare_cloud(s, cfg, seed=i))
+            tgts.append(prepare_cloud(t, cfg, seed=i))
+            gts.append(T)
+
+        # phase-2 path: force every pair through the full program
+        cfg_redo = cfg.override(match=dict(early_exit_min_inliers=10**6))
+        res = register_pairs_batched(
+            cfg_redo, srcs, tgts, jax.random.PRNGKey(0), params, False,
+            batch_size=4,
+        )
+        assert len(res) == 5
+        for r, T in zip(res, gts):
+            assert int(r.scales_used) == cfg.patch.num_scales
+            assert float(se3.compute_rte(r.pose, jnp.asarray(T))) < \
+                cfg.test.rte_thresh
+
+        # phase-1 path: everything confident exits at scale 0
+        cfg_exit = cfg.override(match=dict(early_exit_min_inliers=1))
+        res = register_pairs_batched(
+            cfg_exit, srcs, tgts, jax.random.PRNGKey(0), params, False,
+            batch_size=4,
+        )
+        for r, T in zip(res, gts):
+            assert int(r.scales_used) == 1
+            assert float(se3.compute_rte(r.pose, jnp.asarray(T))) < \
+                cfg.test.rte_thresh
