@@ -7,10 +7,15 @@ keeps the whole loop on-chip:
 
 - ``farthest_point_sampling``: pure-jax ``lax.fori_loop`` — works on any
   backend; the reference implementation for tests.
-- ``farthest_point_sampling_pallas``: single Pallas program holding the
-  cloud (``[8, N]`` lane-major, rows 0-2 = x/y/z) and the min-distance field
-  entirely in VMEM, so the ~1.5k sequential rounds never touch HBM. A
-  30k-point cloud is ~1 MB at this layout — far below the ~16 MB VMEM budget.
+- ``farthest_point_sampling_pallas``: Pallas program holding the cloud and
+  the min-distance field entirely in VMEM so the ~1.5k sequential rounds
+  never touch HBM. Layout is [8, N/8] (full sublane utilization: reductions
+  shrink 8x before the cross-lane tree) and each grid program interleaves
+  ``_CB`` clouds — their per-round dependency chains (max → select →
+  extract → update) are independent, so the compiler overlaps them to hide
+  reduction latency. Under ``vmap`` the batch becomes the grid dimension
+  (a ``custom_vmap`` rule — the auto-lifter can't batch the SMEM index
+  output).
 
 Both take a validity mask (padded slots carry a running value of -1 and can
 never win the argmax; valid slots start at +inf so the first selection is
@@ -34,10 +39,12 @@ __all__ = [
     "fps",
 ]
 
+_CB = 2  # clouds interleaved per grid program (ILP across dependency chains)
+
 
 def fps(xyz: jnp.ndarray, mask: jnp.ndarray, num_samples: int):
-    """Platform dispatcher: the VMEM-resident Pallas kernel on TPU
-    (~2.8x faster than the XLA loop), the pure-jax loop elsewhere."""
+    """Platform dispatcher: the VMEM-resident Pallas kernel on TPU, the
+    pure-jax loop elsewhere."""
     if jax.default_backend() == "tpu":
         return farthest_point_sampling_pallas(xyz, mask, num_samples)
     return farthest_point_sampling(xyz, mask, num_samples)
@@ -77,108 +84,93 @@ def farthest_point_sampling(
     return _finalize(idx, mask, num_samples)
 
 
-def _fps_kernel(xyz_ref, mind0_ref, idx_ref, mind_ref, *, num_samples: int):
-    """xyz_ref [8, Np] (rows 0-2 = x,y,z), mind0_ref [8, Np] (row 0 live),
-    idx_ref [Kp] int32 output in SMEM, mind_ref scratch [8, Np].
+def _fps_kernel(data_ref, idx_ref, mind_ref, *, num_samples: int, cb: int):
+    """data_ref [cb, 4, 8, NL] (planes: x, y, z, initial min-distance) in
+    the [8, N/8] layout (point p = row p//NL, lane p%NL); idx_ref [B, Kp]
+    int32 SMEM (whole array — program ``pid`` writes rows pid*cb..);
+    mind_ref [cb, 8, NL] scratch. The ``cb`` chains inside each round are
+    independent — interleaved for latency hiding."""
+    pid = pl.program_id(0)
+    nl = data_ref.shape[3]
+    iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, nl), 0) * nl
+        + jax.lax.broadcasted_iota(jnp.int32, (8, nl), 1)
+    )
+    big = jnp.int32(8 * nl)
 
-    Mosaic cannot scalar-index VMEM, so the argmax winner is selected and
-    its coordinates extracted with vectorized one-hot reductions; the index
-    lands in SMEM (scalar stores allowed there).
-    """
-    mind_ref[:, :] = mind0_ref[:, :]
-    n_pad = mind_ref.shape[1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    for j in range(cb):
+        mind_ref[j] = data_ref[j, 3]
 
     def body(i, _):
-        mind = mind_ref[0:1, :]                           # [1, Np]
-        m = jnp.max(mind)
-        # first index achieving the max (vectorized "argmax")
-        sel = jnp.min(jnp.where(mind == m, iota, n_pad))
-        idx_ref[i] = sel
-        onehot = (iota == sel).astype(xyz_ref.dtype)      # [1, Np]
-        x = jnp.sum(xyz_ref[0:1, :] * onehot)
-        y = jnp.sum(xyz_ref[1:2, :] * onehot)
-        z = jnp.sum(xyz_ref[2:3, :] * onehot)
-        d = (
-            (xyz_ref[0:1, :] - x) ** 2
-            + (xyz_ref[1:2, :] - y) ** 2
-            + (xyz_ref[2:3, :] - z) ** 2
-        )
-        mind_ref[0:1, :] = jnp.minimum(mind, d)
+        for j in range(cb):
+            mind = mind_ref[j]                             # [8, NL]
+            m = jnp.max(mind)
+            sel = jnp.min(jnp.where(mind == m, iota, big))
+            idx_ref[pid * cb + j, i] = sel
+            onehot = (iota == sel).astype(data_ref.dtype)
+            xs = jnp.sum(data_ref[j, 0] * onehot)
+            ys = jnp.sum(data_ref[j, 1] * onehot)
+            zs = jnp.sum(data_ref[j, 2] * onehot)
+            d = (
+                (data_ref[j, 0] - xs) ** 2
+                + (data_ref[j, 1] - ys) ** 2
+                + (data_ref[j, 2] - zs) ** 2
+            )
+            mind_ref[j] = jnp.minimum(mind, d)
         return 0
 
     jax.lax.fori_loop(0, num_samples, body, 0)
 
 
-def _fps_kernel_grid(xyz_ref, mind0_ref, idx_ref, mind_ref, *,
-                     num_samples: int):
-    """Grid-over-batch variant: per-program [8, Np] blocks, whole [B, Kp]
-    SMEM output shared across the (sequential) grid — program b writes
-    row b."""
-    b = pl.program_id(0)
-    mind_ref[:, :] = mind0_ref[:, :]
-    n_pad = mind_ref.shape[1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
-
-    def body(i, _):
-        mind = mind_ref[0:1, :]
-        m = jnp.max(mind)
-        sel = jnp.min(jnp.where(mind == m, iota, n_pad))
-        idx_ref[b, i] = sel
-        onehot = (iota == sel).astype(xyz_ref.dtype)
-        x = jnp.sum(xyz_ref[0:1, :] * onehot)
-        y = jnp.sum(xyz_ref[1:2, :] * onehot)
-        z = jnp.sum(xyz_ref[2:3, :] * onehot)
-        d = (
-            (xyz_ref[0:1, :] - x) ** 2
-            + (xyz_ref[1:2, :] - y) ** 2
-            + (xyz_ref[2:3, :] - z) ** 2
-        )
-        mind_ref[0:1, :] = jnp.minimum(mind, d)
-        return 0
-
-    jax.lax.fori_loop(0, num_samples, body, 0)
+def _pack(xyz: jnp.ndarray, mask: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    """[N, 3] + [N] -> [4, 8, N_pad/8] planes (x, y, z, mind0)."""
+    n = xyz.shape[0]
+    mind0 = jnp.where(mask, jnp.inf, -1.0).astype(xyz.dtype)
+    flat = jnp.zeros((4, n_pad), xyz.dtype).at[3].set(-1.0)
+    flat = flat.at[:3, :n].set(xyz.T).at[3, :n].set(mind0)
+    return flat.reshape(4, 8, n_pad // 8)
 
 
 @functools.lru_cache(maxsize=None)
 def _pallas_fps(num_samples: int, n_pad: int, k_pad: int, dtype_name: str):
-    """The raw pallas call wrapped with a vmap rule (vmap cannot auto-lift
-    the SMEM index output; batching instead becomes a grid dimension)."""
+    """Pallas call + vmap rule (batch -> grid over cloud groups)."""
     dtype = jnp.dtype(dtype_name)
+    nl = n_pad // 8
+
+    def call(data, b, cb):
+        return pl.pallas_call(
+            functools.partial(_fps_kernel, num_samples=num_samples, cb=cb),
+            grid=(b // cb,),
+            out_shape=jax.ShapeDtypeStruct((b, k_pad), jnp.int32),
+            in_specs=[
+                pl.BlockSpec((cb, 4, 8, nl), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            scratch_shapes=[pltpu.VMEM((cb, 8, nl), dtype)],
+        )(data)
 
     @jax.custom_batching.custom_vmap
-    def run(xyz_t, mind0):
-        return pl.pallas_call(
-            functools.partial(_fps_kernel, num_samples=num_samples),
-            out_shape=jax.ShapeDtypeStruct((k_pad,), jnp.int32),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            scratch_shapes=[pltpu.VMEM((8, n_pad), dtype)],
-        )(xyz_t, mind0)
+    def grid_run(data):                  # [A, 4, 8, NL] -> [A, Kp]
+        a = data.shape[0]
+        if a == 1:
+            return call(data, 1, 1)
+        a_pad = (a + _CB - 1) // _CB * _CB
+        data = jnp.pad(data, ((0, a_pad - a),) + ((0, 0),) * 3)
+        return call(data, a_pad, _CB)[:a]
 
-    @run.def_vmap
-    def _rule(axis_size, in_batched, xyz_t, mind0):  # noqa: ANN001
+    @grid_run.def_vmap
+    def _rule(axis_size, in_batched, data):  # noqa: ANN001
+        # flatten one vmap level into the grid axis; recursion through
+        # grid_run handles arbitrary nesting (each level flattens once)
         if not in_batched[0]:
-            xyz_t = jnp.broadcast_to(xyz_t, (axis_size,) + xyz_t.shape)
-        if not in_batched[1]:
-            mind0 = jnp.broadcast_to(mind0, (axis_size,) + mind0.shape)
-        idx = pl.pallas_call(
-            functools.partial(_fps_kernel_grid, num_samples=num_samples),
-            grid=(axis_size,),
-            out_shape=jax.ShapeDtypeStruct((axis_size, k_pad), jnp.int32),
-            in_specs=[
-                pl.BlockSpec((None, 8, n_pad), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, 8, n_pad), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            scratch_shapes=[pltpu.VMEM((8, n_pad), dtype)],
-        )(xyz_t, mind0)
-        return idx, True
+            data = jnp.broadcast_to(data, (axis_size,) + data.shape)
+        b, a = data.shape[0], data.shape[1]
+        out = grid_run(data.reshape(b * a, *data.shape[2:]))
+        return out.reshape(b, a, out.shape[-1]), True
+
+    def run(data):                       # data [4, 8, NL]
+        return grid_run(data[None])[0]
 
     return run
 
@@ -189,16 +181,10 @@ def farthest_point_sampling_pallas(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """VMEM-resident FPS (same contract as :func:`farthest_point_sampling`)."""
     n = xyz.shape[0]
-    n_pad = (n + 127) // 128 * 128
+    n_pad = (n + 1023) // 1024 * 1024
     k_pad = (num_samples + 127) // 128 * 128
 
-    xyz_t = jnp.zeros((8, n_pad), xyz.dtype)
-    xyz_t = xyz_t.at[:3, :n].set(xyz.T)
-
-    mind0 = jnp.full((8, n_pad), -1.0, xyz.dtype)
-    mind0 = mind0.at[0, :n].set(jnp.where(mask, jnp.inf, -1.0).astype(xyz.dtype))
-
+    data = _pack(xyz, mask, n_pad)
     run = _pallas_fps(num_samples, n_pad, k_pad, xyz.dtype.name)
-    idx = run(xyz_t, mind0)[:num_samples]
-
+    idx = run(data)[:num_samples]
     return _finalize(idx, mask, num_samples)

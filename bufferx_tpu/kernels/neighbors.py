@@ -136,13 +136,22 @@ def ball_query(
     point at index 0 and must be masked by callers (the patch pipeline
     substitutes the center's own coordinates, matching the reference's
     empty-slot handling at ``models/patch_embedder.py:105-111``).
+
+    Selection priority is a per-center random *cyclic shift* of the point
+    order. Points arrive pre-shuffled (``prepare_cloud`` / the loaders), and
+    a cyclic shift of a uniform random permutation is again uniform, so the
+    selected subset has the reference's shuffle-once-then-ball-query
+    distribution (``patch_embedder.py:99-104``) — while costing one iota
+    instead of a [K, N] Threefry draw.
     """
     k = centers.shape[0]
     n = pts.shape[0]
     d2 = sqdist(centers, pts)                                    # [K, N]
     in_radius = (d2 <= radius * radius) & pts_mask[None, :]
-    noise = jax.random.uniform(key, (k, n), minval=0.0, maxval=1.0)
-    scores = jnp.where(in_radius, noise, -jnp.inf)
+    off = jax.random.randint(key, (k, 1), 0, n)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (k, n), 1)
+    prio = -jnp.mod(pos + off, n).astype(jnp.float32)            # in (-n, 0]
+    scores = jnp.where(in_radius, prio, -jnp.inf)
     vals, idx = _random_topk(scores, nsample, use_approx)
     valid = vals > -jnp.inf
     idx = jnp.where(valid, idx, 0)

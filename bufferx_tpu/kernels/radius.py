@@ -42,14 +42,20 @@ def _bisect_quantile(
     against every mid (the [K, N] matrix is ~240 MB at production shapes —
     one fused pass per round instead of one per threshold)."""
     t = target_counts.shape[0]
+    # counting reads the [K, N] matrix 12 times (~3 GB at production
+    # shapes): store distances (not squares) in bf16 — the result is
+    # rounded to 2 decimals anyway, and weights were already folded into a
+    # 0/1 mask, so the only effect is boundary pairs at the bf16 rounding
+    # edge (±0.4% of the distance), well inside the estimate's own noise.
+    d_b = jnp.sqrt(jnp.where(weights > 0.0, d2, jnp.inf)).astype(jnp.bfloat16)
 
     def body(_, bounds):
         low, high = bounds
-        mid = 0.5 * (low + high)                            # [T]
-        below = d2[..., None] < mid * mid                   # [K, N, T]
+        mid = (0.5 * (low + high)).astype(jnp.bfloat16)     # [T]
         counts = jnp.sum(
-            jnp.where(below, weights[..., None], 0.0), axis=(0, 1)
+            (d_b[..., None] < mid).astype(jnp.float32), axis=(0, 1)
         )                                                   # [T]
+        mid = mid.astype(jnp.float32)
         low = jnp.where(counts < target_counts, mid, low)
         high = jnp.where(counts >= target_counts, mid, high)
         return low, high

@@ -255,9 +255,14 @@ def _register_impl(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
     desc_model, pose_model = _models_from_statics(statics)
     keys = jax.random.split(key, 4 + 2 * len(cfg_scales))
 
-    # one FPS per cloud serves probes (radius estimation) and keypoints
-    s_idx, s_v = farthest_point_sampling(src.xyz, src.mask, statics.num_probe)
-    t_idx, t_v = farthest_point_sampling(tgt.xyz, tgt.mask, statics.num_probe)
+    # one FPS per cloud serves probes (radius estimation) and keypoints;
+    # both clouds go through one vmapped call so the Pallas kernel
+    # interleaves their (independent) sequential chains in one program
+    st_idx, st_v = jax.vmap(
+        lambda x, m: farthest_point_sampling(x, m, statics.num_probe)
+    )(jnp.stack([src.xyz, tgt.xyz]), jnp.stack([src.mask, tgt.mask]))
+    s_idx, t_idx = st_idx[0], st_idx[1]
+    s_v, t_v = st_v[0], st_v[1]
     s_probe, t_probe = src.xyz[s_idx], tgt.xyz[t_idx]
     src_kpts = s_probe[: statics.num_fps]
     tgt_kpts = t_probe[: statics.num_fps]
