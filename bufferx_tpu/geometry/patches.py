@@ -29,10 +29,15 @@ def select_patches(
     key: jax.Array,
     patch_sample: int,
     use_approx: bool = True,
+    d2: jnp.ndarray | None = None,
 ):
-    """Returns (patches [K, P, 3] absolute coords, patch_mask [K, P])."""
+    """Returns (patches [K, P, 3] absolute coords, patch_mask [K, P]).
+
+    ``d2``: optional precomputed [K, N] squared keypoint-to-cloud distances
+    (shared across scales by the pipeline)."""
     idx, valid = ball_query(
-        pts, pts_mask, kpts, radius, key, patch_sample, use_approx=use_approx
+        pts, pts_mask, kpts, radius, key, patch_sample,
+        use_approx=use_approx, d2=d2,
     )
     gathered = pts[idx]                                   # [K, P, 3]
     patches = jnp.where(valid[..., None], gathered, kpts[:, None, :])

@@ -128,10 +128,15 @@ def ball_query(
     key: jax.Array,
     nsample: int,
     use_approx: bool = True,
+    d2: jnp.ndarray | None = None,
 ):
     """Uniform random in-radius subset of size ``nsample`` per center.
 
     pts: [N, 3] (+ mask [N]); centers: [K, 3]; radius: scalar (may be traced).
+    ``d2`` optionally supplies the precomputed [K, N] squared distances —
+    the pipeline shares one matrix between radius estimation and every
+    scale's patch extraction (the [K, N] build is the single most expensive
+    dense pass at production shapes).
     Returns (idx [K, nsample] int32, valid [K, nsample] bool). Invalid slots
     point at index 0 and must be masked by callers (the patch pipeline
     substitutes the center's own coordinates, matching the reference's
@@ -146,11 +151,14 @@ def ball_query(
     """
     k = centers.shape[0]
     n = pts.shape[0]
-    d2 = sqdist(centers, pts)                                    # [K, N]
+    if d2 is None:
+        d2 = sqdist(centers, pts)                                # [K, N]
     in_radius = (d2 <= radius * radius) & pts_mask[None, :]
     off = jax.random.randint(key, (k, 1), 0, n)
     pos = jax.lax.broadcasted_iota(jnp.int32, (k, n), 1)
-    prio = -jnp.mod(pos + off, n).astype(jnp.float32)            # in (-n, 0]
+    shifted = pos - off                      # cyclic order from ``off``;
+    shifted = jnp.where(shifted < 0, shifted + n, shifted)  # no int mod (slow)
+    prio = -shifted.astype(jnp.float32)                          # in (-n, 0]
     scores = jnp.where(in_radius, prio, -jnp.inf)
     vals, idx = _random_topk(scores, nsample, use_approx)
     valid = vals > -jnp.inf

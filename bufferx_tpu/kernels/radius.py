@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from bufferx_tpu.kernels.neighbors import sqdist
 
-__all__ = ["density_aware_radius"]
+__all__ = ["density_aware_radius", "density_aware_radius_from_d2"]
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters",))
@@ -82,7 +82,20 @@ def density_aware_radius(
     static tuple of target percentages, e.g. (5.0, 2.0, 0.5). Returns
     [len(thresholds)] f32 radii, rounded to 2 decimals.
     """
-    d2 = sqdist(kpts, pts)
+    return density_aware_radius_from_d2(
+        sqdist(kpts, pts), pts_mask, kpts_mask, thresholds, max_r
+    )
+
+
+def density_aware_radius_from_d2(
+    d2: jnp.ndarray,
+    pts_mask: jnp.ndarray,
+    kpts_mask: jnp.ndarray,
+    thresholds,
+    max_r: float = 5.0,
+):
+    """Same, from a precomputed [K, N] distance matrix (the pipeline shares
+    one matrix between radius estimation and patch extraction)."""
     w = (kpts_mask[:, None] & pts_mask[None, :]).astype(jnp.float32)
     # reference counts only pairs within max_r but divides by the full count
     w = jnp.where(d2 <= max_r * max_r, w, 0.0)

@@ -39,8 +39,8 @@ from bufferx_tpu.geometry.cylindrical import spatial_point_transformer
 from bufferx_tpu.geometry.lrf import align_patches
 from bufferx_tpu.geometry.patches import select_patches
 from bufferx_tpu.kernels.fps import fps as farthest_point_sampling
-from bufferx_tpu.kernels.neighbors import mutual_nearest
-from bufferx_tpu.kernels.radius import density_aware_radius
+from bufferx_tpu.kernels.neighbors import masked_sqdist, mutual_nearest
+from bufferx_tpu.kernels.radius import density_aware_radius_from_d2
 from bufferx_tpu.models.heads import CostVolume
 from bufferx_tpu.models.spinnet import MiniSpinNet
 from bufferx_tpu.solver.consensus import cross_scale_consensus
@@ -187,18 +187,23 @@ def prepare_cloud(xyz: np.ndarray, cfg: Config, seed: int = 0) -> Cloud:
 
 
 def _embed_two(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
-               src_kpts, tgt_kpts, des_r, is_aligned, key, desc_model):
+               src_kpts, tgt_kpts, des_r, is_aligned, key, desc_model,
+               d2_src=None, d2_tgt=None):
     """Both clouds' keypoints through one geometric+model pass.
 
     Patch extraction/LRF/SPT are per-keypoint ops, and the conv net is
     weight-bound at these batch sizes — stacking src and tgt (2K patches)
-    costs the same math but loads the weights once."""
+    costs the same math but loads the weights once. ``d2_src``/``d2_tgt``
+    are the precomputed keypoint-to-cloud distance matrices (shared across
+    scales — only the radius changes per scale)."""
     ks1, ks2 = jax.random.split(key)
     sp, sm = select_patches(
-        src.xyz, src.mask, src_kpts, des_r, ks1, statics.patch_sample
+        src.xyz, src.mask, src_kpts, des_r, ks1, statics.patch_sample,
+        d2=d2_src,
     )
     tp, tm = select_patches(
-        tgt.xyz, tgt.mask, tgt_kpts, des_r, ks2, statics.patch_sample
+        tgt.xyz, tgt.mask, tgt_kpts, des_r, ks2, statics.patch_sample,
+        d2=d2_tgt,
     )
     patches = jnp.concatenate([sp, tp])
     pmask = jnp.concatenate([sm, tm])
@@ -269,14 +274,18 @@ def _register_impl(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
     src_kpts_v = s_v[: statics.num_fps]
     tgt_kpts_v = t_v[: statics.num_fps]
 
+    # one [probes, points] distance matrix per cloud, shared by radius
+    # estimation and every scale's patch extraction (the dense [K, N]
+    # build dominates those stages; only the radius threshold varies)
+    d2_src = masked_sqdist(s_probe, src.xyz, s_v, src.mask)
+    d2_tgt = masked_sqdist(t_probe, tgt.xyz, t_v, tgt.mask)
+
     # density-aware radii from the denser cloud (reference :654-659)
     use_src = jnp.sum(src.mask) > jnp.sum(tgt.mask)
-    pts = jnp.where(use_src, src.xyz, tgt.xyz)
     pts_m = jnp.where(use_src, src.mask, tgt.mask)
-    probes = jnp.where(use_src, s_probe, t_probe)
     probes_m = jnp.where(use_src, s_v, t_v)
-    radii = density_aware_radius(
-        pts, pts_m, probes, probes_m,
+    radii = density_aware_radius_from_d2(
+        jnp.where(use_src, d2_src, d2_tgt), pts_m, probes_m,
         thresholds=statics.thresholds, max_r=statics.radius_max,
     )
 
@@ -288,6 +297,8 @@ def _register_impl(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
         desc2, equi2, R2 = _embed_two(
             params, statics, src, tgt, src_kpts, tgt_kpts, des_r,
             is_aligned, keys[4 + 2 * j], desc_model,
+            d2_src=d2_src[: statics.num_fps],
+            d2_tgt=d2_tgt[: statics.num_fps],
         )
         nf = statics.num_fps
         s_desc, t_desc = desc2[:nf], desc2[nf:]
