@@ -108,6 +108,12 @@ class PatchConfig:
     search_radius_thresholds: Tuple[float, ...] = (5.0, 2.0, 0.5)
     num_points_radius_estimate: int = 2000
     radius_max: float = 5.0               # bisection upper bound (reference max_r)
+    # descriptor cell pooling: "sampled" = reference semantics (nsample
+    # random in-radius points + point-MLP max-pool); "moments" = dense
+    # moment pooling over all in-radius points (geometry/moments.py) —
+    # one MXU matmul per patch, 16x less HBM traffic; needs a checkpoint
+    # trained in the same mode.
+    desc_mode: str = "sampled"
 
 
 @dataclass(frozen=True)

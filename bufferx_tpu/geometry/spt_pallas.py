@@ -42,10 +42,62 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["spt_cell_query_pallas"]
+__all__ = ["spt_cell_query_pallas", "spt_moments_pallas"]
 
 _PB = 4       # patches per grid program
 _CHUNK = 128  # prefix-sum chunk width (bf16-exact: sums stay < 256)
+_PB_M = 8     # patches per program in the moments kernel (16 lanes each,
+              # 8 patches per 128-lane output row; 32 measured slightly
+              # worse — the kernel is compute-bound, not dispatch-bound)
+
+
+def _aug_cells(cells_ref, radius2: float, num_cells: int):
+    """Cell-side operands of the matmul distance field.
+
+    The in-radius test ``|c - p|^2 <= r^2`` is evaluated as
+    ``(|p|^2 - 2 c.p) <= r^2 - |c|^2`` with the left side computed by one
+    MXU matmul: ``[-2c, 1] @ [p; |p|^2]``. A plain f32 matmul is slow
+    (multi-pass) and plain bf16 flips boundary points, so both operands are
+    split into bf16 hi/lo halves and stacked along the contraction axis —
+    ``[c_hi, c_hi, c_lo] @ [p_hi; p_lo; p_hi]`` — recovering ~2^-18
+    relative accuracy in ONE bf16 matmul (the 24-wide contraction pads to
+    128 lanes regardless).
+
+    Returns (cells_cat [Gp, 24] bf16, thr [Gp, 1] f32).
+    """
+    gp = cells_ref.shape[0]
+    cx = cells_ref[:, 0:1]
+    cy = cells_ref[:, 1:2]
+    cz = cells_ref[:, 2:3]
+    gi = jax.lax.broadcasted_iota(jnp.int32, (gp, 1), 0)
+    cell_ok = gi < num_cells
+    li = jax.lax.broadcasted_iota(jnp.int32, (gp, 8), 1)
+    cells_aug = jnp.where(
+        li < 3, -2.0 * cells_ref[:, :], jnp.where(li == 3, 1.0, 0.0)
+    )                                            # [Gp, 8] f32
+    c_hi = cells_aug.astype(jnp.bfloat16)
+    c_lo = (cells_aug - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    cells_cat = jnp.concatenate([c_hi, c_hi, c_lo], axis=1)   # [Gp, 24]
+    thr = jnp.where(cell_ok, radius2 - (cx * cx + cy * cy + cz * cz),
+                    -jnp.inf)                    # [Gp, 1]
+    return cells_cat, thr
+
+
+def _cross_field(cells_cat, rj):
+    """``|p|^2 - 2 c.p`` for one patch: rj [8, P] (xyz in sublanes 0-2).
+
+    Returns [Gp, P] f32 via one bf16 hi/lo-compensated MXU matmul.
+    """
+    px = rj[0:1, :]
+    py = rj[1:2, :]
+    pz = rj[2:3, :]
+    pq = px * px + py * py + pz * pz             # [1, P]
+    si = jax.lax.broadcasted_iota(jnp.int32, (8, rj.shape[1]), 0)
+    p_aug = jnp.where(si < 3, rj, jnp.where(si == 3, pq, 0.0))
+    p_hi = p_aug.astype(jnp.bfloat16)
+    p_lo = (p_aug - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    p_cat = jnp.concatenate([p_hi, p_lo, p_hi], axis=0)       # [24, P]
+    return jnp.dot(cells_cat, p_cat, preferred_element_type=jnp.float32)
 
 
 def _rank_in_row_order(ok: jnp.ndarray, lt: jnp.ndarray) -> jnp.ndarray:
@@ -65,29 +117,26 @@ def _rank_in_row_order(ok: jnp.ndarray, lt: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1)            # [Gp, P]
 
 
-def _kernel(cells_ref, rows_ref, cols_ref, valid_ref, lt_ref, out_ref, *,
+def _kernel(cells_ref, rows_ref, lt_ref, out_ref, *,
             nsample: int, radius2: float, num_cells: int):
-    """cells_ref [Gp, 8] (cols 0-2 xyz); rows_ref [PB, 8, P] (xyz rows);
-    cols_ref [PB, P, 8] (xyz lanes); valid_ref [PB, 1, P] f32 0/1;
-    lt_ref [CHUNK, CHUNK] bf16; out_ref [PB, Gp, 128]."""
+    """cells_ref [Gp, 8] (cols 0-2 xyz); rows_ref [PB, 8, P] (xyz in
+    sublanes 0-2, validity 0/1 in sublane 3); lt_ref [CHUNK, CHUNK] bf16;
+    out_ref [PB, Gp, 128]."""
     gp = cells_ref.shape[0]
-
-    cx = cells_ref[:, 0:1]                     # [Gp, 1]
-    cy = cells_ref[:, 1:2]
-    cz = cells_ref[:, 2:3]
-    gi = jax.lax.broadcasted_iota(jnp.int32, (gp, 1), 0)
-    cell_ok = gi < num_cells
     lt = lt_ref[:, :]
+    cells_cat, thr = _aug_cells(cells_ref, radius2, num_cells)
 
     for j in range(_PB):
-        px = rows_ref[j, 0:1, :]               # [1, P]
-        py = rows_ref[j, 1:2, :]
-        pz = rows_ref[j, 2:3, :]
-        d2 = (cx - px) ** 2 + (cy - py) ** 2 + (cz - pz) ** 2   # [Gp, P]
-        ok = (d2 <= radius2) & cell_ok & (valid_ref[j, 0:1, :] > 0.0)
+        rj = rows_ref[j]                       # [8, P]
+        cross = _cross_field(cells_cat, rj)    # [Gp, P]
+        ok = (cross <= thr) & (rj[3:4, :] > 0.0)
         rank = _rank_in_row_order(ok, lt)
         rank = jnp.where(ok, rank, 0.0)
-        patch_cols = cols_ref[j]               # [P, 8]
+        # [P, 8] via in-VMEM transpose (see _moments_kernel: a separate
+        # [K, P, 8] operand stores lane-padded 16x and its DMA dominates);
+        # zero the mask sublane so extracted coords stay pure xyz.
+        si = jax.lax.broadcasted_iota(jnp.int32, rj.shape, 0)
+        patch_cols = jnp.transpose(jnp.where(si < 3, rj, 0.0), (1, 0))
 
         if nsample * 8 < 128:
             out_ref[j, :, nsample * 8 :] = jnp.zeros(
@@ -125,11 +174,8 @@ def spt_cell_query_pallas(
 
     rows = jnp.zeros((k_pad, 8, p_pad), patches.dtype)
     rows = rows.at[:k, :3, :p].set(jnp.swapaxes(patches, 1, 2))
-    cols = jnp.zeros((k_pad, p_pad, 8), patches.dtype)
-    cols = cols.at[:k, :p, :3].set(patches)
+    rows = rows.at[:k, 3, :p].set(patches_mask.astype(patches.dtype))
     cells_t = jnp.zeros((gp, 8), cells.dtype).at[:g, :3].set(cells)
-    valid = jnp.zeros((k_pad, 1, p_pad), jnp.float32)
-    valid = valid.at[:k, 0, :p].set(patches_mask.astype(jnp.float32))
     lt = jnp.tril(jnp.ones((_CHUNK, _CHUNK), jnp.bfloat16)).T  # row i: 1s ≥ i
 
     out = pl.pallas_call(
@@ -142,10 +188,6 @@ def spt_cell_query_pallas(
             pl.BlockSpec((gp, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_PB, 8, p_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_PB, p_pad, 8), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_PB, 1, p_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((_CHUNK, _CHUNK), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -153,7 +195,100 @@ def spt_cell_query_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k_pad, gp, 128), patches.dtype),
         interpret=interpret,
-    )(cells_t, rows, cols, valid, lt)
+    )(cells_t, rows, lt)
 
     out = out[:k, :g, : nsample * 8].reshape(k, g, nsample, 8)
     return out[..., :3]
+
+
+def _moments_kernel(cells_ref, rows_ref, out_ref, *,
+                    radius2: float, num_cells: int):
+    """Dense moment pooling ("moments" descriptor mode).
+
+    One program pools ``_PB_M`` patches: per patch, the in-radius mask
+    [Gp, P] (one MXU distance-field matmul + one VPU compare) feeds a
+    single ``ok @ psi`` MXU matmul — [Gp, P] x [P, 16] -> all ten cell
+    moments at once. No rank computation, no per-sample extraction rounds,
+    and the output is nsample*8/16 = 5x narrower than the sampled kernel's.
+
+    psi is assembled in VMEM from an in-kernel transpose of the patch rows
+    (a separate [K, P, 16] or [K, P, 8] HBM operand stores lane-padded to
+    128 and its traffic dominated everything). The validity mask rides in
+    rows sublane 3, doubling as the count moment.
+
+    cells_ref [Gp, 8] (cols 0-2 xyz); rows_ref [PB, 8, P] (xyz in sublanes
+    0-2, mask in sublane 3); out_ref [1, Gp, 128] (patch j's moments in
+    lanes j*16 .. j*16+16).
+    """
+    cells_cat, thr = _aug_cells(cells_ref, radius2, num_cells)
+
+    for j in range(_PB_M):
+        rj = rows_ref[j]                         # [8, P]; sublane 3 = mask
+        cross = _cross_field(cells_cat, rj)      # [Gp, P]
+        ok = (cross <= thr).astype(jnp.bfloat16)
+
+        # [P, 8] view via an in-VMEM transpose — a separate [K, P, 8] HBM
+        # operand stores lane-padded 8 -> 128 (16x) and its per-program DMA
+        # dominated the kernel
+        c = jnp.transpose(rj, (1, 0))            # [P, 8]
+        x = c[:, 0:1]
+        y = c[:, 1:2]
+        z = c[:, 2:3]
+        v = c[:, 3:4]                            # 1.0 valid / 0.0 pad
+        zero = jnp.zeros_like(x)
+        psi = jnp.concatenate(
+            [x, y, z, x * x, y * y, z * z, x * y, y * z, z * x, v,
+             zero, zero, zero, zero, zero, zero],
+            axis=1,
+        ) * v                                    # [P, 16], mask folded in
+        m = jnp.dot(ok, psi.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        out_ref[j // 8, :, (j % 8) * 16 : (j % 8 + 1) * 16] = m  # [Gp, 16]
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def spt_moments_pallas(
+    patches: jnp.ndarray,       # [K, P, 3] normalized offsets
+    patches_mask: jnp.ndarray,  # [K, P]
+    cells: jnp.ndarray,         # [G, 3]
+    radius: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns raw per-cell moments [K, G, 10] (see geometry.moments).
+
+    Counts stay exact (0/1 in bf16, f32 MXU accumulation); coordinate
+    moments carry bf16 rounding — the same precision the descriptor conv
+    stack runs at.
+    """
+    from bufferx_tpu.geometry.moments import NUM_MOMENTS
+
+    k, p, _ = patches.shape
+    g = cells.shape[0]
+    gp = (g + 7) // 8 * 8
+    p_pad = (p + 127) // 128 * 128
+    k_pad = (k + _PB_M - 1) // _PB_M * _PB_M
+
+    rows = jnp.zeros((k_pad, 8, p_pad), patches.dtype)
+    rows = rows.at[:k, :3, :p].set(jnp.swapaxes(patches, 1, 2))
+    rows = rows.at[:k, 3, :p].set(patches_mask.astype(patches.dtype))
+    cells_t = jnp.zeros((gp, 8), cells.dtype).at[:g, :3].set(cells)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _moments_kernel, radius2=float(radius) ** 2, num_cells=g
+        ),
+        grid=(k_pad // _PB_M,),
+        in_specs=[
+            pl.BlockSpec((gp, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PB_M, 8, p_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_PB_M // 8, gp, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_pad // 8, gp, 128), jnp.float32),
+        interpret=interpret,
+    )(cells_t, rows)
+
+    out = out.reshape(k_pad // 8, gp, 8, 16)
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(k_pad, gp, 16)
+    return out[:k, :g, :NUM_MOMENTS]

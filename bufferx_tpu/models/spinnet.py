@@ -7,7 +7,11 @@ The neural half of the reference's ``MiniSpinNet``
 output grid and produces the 32-D invariant descriptor plus the equivariant
 cylindrical map.
 
-Input:  inv_patches [K, G, ns, 3], G = rad_n*ele_n*azi_n (SPT output).
+Input:  ``mode="sampled"`` (reference semantics): inv_patches
+[K, G, ns, 3], G = rad_n*ele_n*azi_n (SPT output); ``mode="moments"``
+(dense cell pooling, see :mod:`bufferx_tpu.geometry.moments`): cell
+features [K, G, 10] — the point-MLP + max-pool is replaced by a 1x1 conv
+on the pooled moment features.
 Output: dict with
   - ``desc``: [K, 32] L2-normalized invariant descriptors,
   - ``equi``: [K, 32, ele_n, azi_n] L2-normalized (over channel)
@@ -31,18 +35,25 @@ class MiniSpinNet(nn.Module):
     dim: int = 32
     bn_axis_name: str | None = None
     compute_dtype: jnp.dtype = jnp.float32
+    mode: str = "sampled"    # "sampled" | "moments"
 
     @nn.compact
     def __call__(self, inv_patches: jnp.ndarray, train: bool = False):
         ax = self.bn_axis_name
         dt = self.compute_dtype
-        k, g, ns, _ = inv_patches.shape
+        k, g = inv_patches.shape[0], inv_patches.shape[1]
         assert g == self.rad_n * self.ele_n * self.azi_n
 
-        # point MLP: 1x1 conv 3->16 + BN(affine) + relu, max-pool over samples
-        x = ConvBNRelu(16, (1, 1), bn_affine=True, bn_axis_name=ax,
-                       compute_dtype=dt)(inv_patches, train)                                                   # [K, G, ns, 16]
-        x = jnp.max(x, axis=2)                              # [K, G, 16]
+        if self.mode == "moments":
+            # dense cell pooling: 1x1 conv on the 10 moment features
+            x = ConvBNRelu(16, (1, 1), bn_affine=True, bn_axis_name=ax,
+                           compute_dtype=dt)(inv_patches[:, :, None, :], train)
+            x = jnp.squeeze(x, axis=2)                      # [K, G, 16]
+        else:
+            # point MLP: 1x1 conv 3->16 + BN(affine) + relu, max over samples
+            x = ConvBNRelu(16, (1, 1), bn_affine=True, bn_axis_name=ax,
+                           compute_dtype=dt)(inv_patches, train)                                                   # [K, G, ns, 16]
+            x = jnp.max(x, axis=2)                          # [K, G, 16]
         x = x.reshape(k, self.rad_n, self.ele_n, self.azi_n, 16)
 
         x, _mid = CylindricalConvNet(

@@ -107,6 +107,7 @@ class PipelineStatics:
     early_exit_min_inliers: int
     kiss_resolution: float
     use_bf16: bool = True   # conv stacks in bfloat16 at inference (MXU 2x)
+    desc_mode: str = "sampled"   # cell pooling: "sampled" | "moments"
 
     @classmethod
     def from_config(cls, cfg: Config) -> "PipelineStatics":
@@ -137,6 +138,7 @@ class PipelineStatics:
             enable_early_exit=cfg.match.enable_early_exit,
             early_exit_min_inliers=cfg.match.early_exit_min_inliers,
             kiss_resolution=cfg.match.kiss_resolution,
+            desc_mode=cfg.patch.desc_mode,
         )
 
 
@@ -146,6 +148,7 @@ def build_models(cfg: Config, bn_axis_name: str | None = None):
         ele_n=cfg.patch.ele_n,
         azi_n=cfg.patch.azi_n,
         bn_axis_name=bn_axis_name,
+        mode=cfg.patch.desc_mode,
     )
     pose = CostVolume(azi_n=cfg.patch.azi_n, bn_axis_name=bn_axis_name)
     return desc, pose
@@ -157,9 +160,12 @@ def init_params(cfg: Config, key: jax.Array) -> dict:
     s = PipelineStatics.from_config(cfg)
     g = s.rad_n * s.ele_n * s.azi_n
     k1, k2 = jax.random.split(key)
-    desc_vars = desc.init(
-        k1, jnp.zeros((2, g, s.voxel_sample, 3)), train=False
+    desc_in = (
+        jnp.zeros((2, g, 10))
+        if s.desc_mode == "moments"
+        else jnp.zeros((2, g, s.voxel_sample, 3))
     )
+    desc_vars = desc.init(k1, desc_in, train=False)
     pose_vars = pose.init(
         k2,
         jnp.zeros((2, 32, s.ele_n - 2, s.azi_n)),
@@ -184,6 +190,31 @@ def prepare_cloud(xyz: np.ndarray, cfg: Config, seed: int = 0) -> Cloud:
     mask = np.zeros(cap, bool)
     mask[:n] = True
     return Cloud(jnp.asarray(out), jnp.asarray(mask))
+
+
+def _spt_features(normed, pmask, statics: PipelineStatics):
+    """Normalized aligned offsets -> descriptor-net input (mode dispatch)."""
+    if statics.desc_mode == "moments":
+        from bufferx_tpu.geometry.moments import (
+            moments_to_features,
+            pool_cell_moments,
+        )
+
+        raw = pool_cell_moments(
+            normed, pmask,
+            rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
+            delta=statics.delta, chunk=statics.sphere_chunk,
+        )
+        return moments_to_features(
+            raw, rad_n=statics.rad_n, ele_n=statics.ele_n,
+            azi_n=statics.azi_n, delta=statics.delta,
+        )
+    return spatial_point_transformer(
+        normed, pmask,
+        rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
+        delta=statics.delta, nsample=statics.voxel_sample,
+        chunk=statics.sphere_chunk,
+    )
 
 
 def _embed_two(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
@@ -211,12 +242,7 @@ def _embed_two(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
     delta = patches - kpts[:, None, :]
     aligned, _rand_axis, R = align_patches(delta, kpts, is_aligned)
     normed = aligned / des_r
-    inv = spatial_point_transformer(
-        normed, pmask,
-        rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
-        delta=statics.delta, nsample=statics.voxel_sample,
-        chunk=statics.sphere_chunk,
-    )
+    inv = _spt_features(normed, pmask, statics)
     out = desc_model.apply(params["desc"], inv, train=False)
     return out["desc"], out["equi"], R
 
@@ -230,12 +256,7 @@ def _embed(params, statics: PipelineStatics, cloud: Cloud, kpts, des_r,
     delta = patches - kpts[:, None, :]
     aligned, _rand_axis, R = align_patches(delta, kpts, is_aligned)
     normed = aligned / des_r
-    inv = spatial_point_transformer(
-        normed, pmask,
-        rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
-        delta=statics.delta, nsample=statics.voxel_sample,
-        chunk=statics.sphere_chunk,
-    )
+    inv = _spt_features(normed, pmask, statics)
     out = desc_model.apply(params["desc"], inv, train=False)
     return out["desc"], out["equi"], R
 
@@ -380,7 +401,7 @@ def _models_from_statics(statics: PipelineStatics):
     dt = jnp.bfloat16 if statics.use_bf16 else jnp.float32
     desc = MiniSpinNet(
         rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
-        compute_dtype=dt,
+        compute_dtype=dt, mode=statics.desc_mode,
     )
     pose = CostVolume(azi_n=statics.azi_n, compute_dtype=dt)
     return desc, pose

@@ -56,6 +56,7 @@ class TrainStatics:
     voxel_sample: int
     sphere_chunk: int
     safe_radius: float
+    desc_mode: str = "sampled"
 
     @classmethod
     def from_config(cls, cfg: Config) -> "TrainStatics":
@@ -69,6 +70,7 @@ class TrainStatics:
             voxel_sample=cfg.patch.voxel_sample,
             sphere_chunk=cfg.capacity.sphere_query_chunk,
             safe_radius=cfg.match.dist_th,
+            desc_mode=cfg.patch.desc_mode,
         )
 
 
@@ -140,12 +142,28 @@ def embed_training(
     aligned = jnp.einsum("kpi,kji->kpj", aligned, aug_R, precision=hp)
     rand_axis = jnp.einsum("ki,kji->kj", rand_axis, aug_R, precision=hp)
 
-    inv = spatial_point_transformer(
-        aligned, pmask,
-        rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
-        delta=statics.delta, nsample=statics.voxel_sample,
-        chunk=statics.sphere_chunk,
-    )
+    if statics.desc_mode == "moments":
+        from bufferx_tpu.geometry.moments import (
+            moments_to_features,
+            pool_cell_moments,
+        )
+
+        raw = pool_cell_moments(
+            aligned, pmask,
+            rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
+            delta=statics.delta, chunk=statics.sphere_chunk,
+        )
+        inv = moments_to_features(
+            raw, rad_n=statics.rad_n, ele_n=statics.ele_n,
+            azi_n=statics.azi_n, delta=statics.delta,
+        )
+    else:
+        inv = spatial_point_transformer(
+            aligned, pmask,
+            rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
+            delta=statics.delta, nsample=statics.voxel_sample,
+            chunk=statics.sphere_chunk,
+        )
     out, mutated = desc_model.apply(
         params, inv, train=True, mutable=["batch_stats"]
     )

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--out", default="snapshot/synthetic")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--num-points", type=int, default=4000)
+    ap.add_argument("--desc-mode", default="sampled",
+                    choices=["sampled", "moments"])
     args = ap.parse_args()
 
     import jax
@@ -47,7 +49,7 @@ def main():
 
     cfg = make_cfg("ModelNet40").override(
         capacity=dict(max_points=4096, sphere_query_chunk=128),
-        patch=dict(num_points_per_patch=256),
+        patch=dict(num_points_per_patch=256, desc_mode=args.desc_mode),
         train=dict(pos_num=256),
     )
     params = init_params(cfg, jax.random.PRNGKey(0))
