@@ -46,6 +46,9 @@ def parse_args():
     ap.add_argument("--num-fps", type=int, default=None)
     ap.add_argument("--search-radius-thresholds", type=float, nargs="+",
                     default=None)
+    ap.add_argument("--desc-mode", choices=["sampled", "moments"],
+                    default=None,
+                    help="cell pooling mode (must match the checkpoint)")
     ap.add_argument("--hetero", default=None,
                     help="src_sensor:tgt_sensor for *_hetero datasets")
     ap.add_argument("--max-pairs", type=int, default=None)
@@ -77,6 +80,8 @@ def apply_overrides(cfg, args):
     if args.search_radius_thresholds is not None:
         patch["search_radius_thresholds"] = tuple(args.search_radius_thresholds)
         patch["num_scales"] = len(args.search_radius_thresholds)
+    if args.desc_mode is not None:
+        patch["desc_mode"] = args.desc_mode
     match = {}
     if args.pose_estimator is not None:
         match["pose_estimator"] = args.pose_estimator
