@@ -503,6 +503,11 @@ def register_pairs_batched(
     aligned = jnp.broadcast_to(jnp.asarray(is_aligned), (batch_size,))
     results: list = [None] * n
 
+    # phase 1: dispatch scale-0 for EVERY batch before any host sync — jax
+    # dispatch is async, so the device (and the tunnel, under axon) streams
+    # batch programs back-to-back instead of paying a host round trip per
+    # batch (the per-batch inlier fetch used to sit on the critical path).
+    staged = []
     for start in range(0, n, batch_size):
         idx = list(range(start, min(start + batch_size, n)))
         pad = [idx[-1]] * (batch_size - len(idx))
@@ -514,6 +519,11 @@ def register_pairs_batched(
         res0 = _register_batch_jit(
             params, statics, sb, tb, aligned, keys, (0,)
         )
+        staged.append((idx, keys, res0))
+
+    # phase 2: fetch confidences (first fetch syncs; later ones are done),
+    # re-dispatch unconfident pairs through the full multi-scale program
+    for idx, keys, res0 in staged:
         inl = np.asarray(res0.num_inliers)
         redo = [
             j for j, i in enumerate(idx)
