@@ -104,58 +104,43 @@ def main() -> int:
     log(f"warmup ({NUM_WARMUP} pairs incl. compile): "
         f"{time.perf_counter() - t0:.1f}s")
 
-    rtes = []
+    # Timing protocol (matches the reference's: metric computation sits
+    # OUTSIDE the timed model window, /root/reference/test.py:132-146 —
+    # CUDA events bracket only the model call there). The timed window
+    # here covers dispatch + device compute + the pose fetch to host
+    # (which doubles as the synchronization point: block_until_ready is a
+    # no-op over the axon tunnel). RTEs are computed after the clock stops.
+    poses = []
     t0 = time.perf_counter()
     for i in range(NUM_WARMUP, NUM_WARMUP + NUM_TIMED):
         key, sub = jax.random.split(key)
         res = register_pair_jit(
             params, statics, pairs[i][0], pairs[i][1], aligned, sub
         )
-        jax.block_until_ready(res)
-        rtes.append(
-            float(se3.compute_rte(res.pose, jnp.asarray(pairs[i][2])))
-        )
+        poses.append(np.asarray(res.pose))  # fetch = sync
     elapsed = time.perf_counter() - t0
+    rtes = [
+        float(se3.compute_rte(jnp.asarray(poses[k]),
+                              jnp.asarray(pairs[NUM_WARMUP + k][2])))
+        for k in range(NUM_TIMED)
+    ]
     full_pps = NUM_TIMED / elapsed
     log(f"full 3-scale: {NUM_TIMED} pairs in {elapsed:.2f}s -> "
         f"{full_pps:.3f} pairs/s ({elapsed / NUM_TIMED * 1000:.0f} ms/pair)")
     log(f"sanity RTE (full-overlap pairs): median {np.median(rtes):.3f} m")
 
-    # BUFFER-X++ early-exit mode (the reference's headline benchmark
-    # configuration): confident pairs stop after scale 0
-    from bufferx_tpu.pipeline.registration import register_pair_early_exit
-
-    cfg_ee = cfg.override(match=dict(enable_early_exit=True))
-    # compile both program variants
-    for i in range(NUM_WARMUP):
-        res = register_pair_early_exit(
-            cfg_ee, pairs[i][0], pairs[i][1], jax.random.PRNGKey(9),
-            params, False,
-        )
-        jax.block_until_ready(res)
-    rtes_ee, exits = [], []
-    t0 = time.perf_counter()
-    for i in range(NUM_WARMUP, NUM_WARMUP + NUM_TIMED):
-        key, sub = jax.random.split(key)
-        res = register_pair_early_exit(
-            cfg_ee, pairs[i][0], pairs[i][1], sub, params, False
-        )
-        rtes_ee.append(
-            float(se3.compute_rte(res.pose, jnp.asarray(pairs[i][2])))
-        )
-        exits.append(int(res.scales_used))
-    elapsed_ee = time.perf_counter() - t0
-    ee_pps = NUM_TIMED / elapsed_ee
-    log(f"early-exit:   {NUM_TIMED} pairs in {elapsed_ee:.2f}s -> "
-        f"{ee_pps:.3f} pairs/s; scales used {exits}")
-    log(f"sanity RTE early-exit: median {np.median(rtes_ee):.3f} m")
-
     # batched serving mode (TPU-native: vmap over pairs, two-phase early
     # exit). Same per-pair work and quality; amortizes weight traffic and
     # dispatch. The reference has no counterpart (B hard-pinned to 1).
+    # Measured BEFORE the B=1 early-exit section: interleaving the B=1
+    # host-dispatched programs before the batched ones leaves the tunnel's
+    # program state in a slow regime (~1.5x — scripts/exp_order.py), which
+    # a real batched serving process never does.
     from bufferx_tpu.pipeline.registration import register_pairs_batched
 
-    bsz = 4
+    cfg_ee = cfg.override(match=dict(enable_early_exit=True))
+    bsz = 8  # measured best multi-batch size (scripts/exp_batch.py:
+             # B=4 11.7, B=8 16.5, B=16 17.3-but-single-batch pairs/s)
     srcs = [p[0] for p in pairs]
     tgts = [p[1] for p in pairs]
     _ = register_pairs_batched(          # compile both phases
@@ -167,15 +152,51 @@ def main() -> int:
         cfg_ee, srcs[NUM_WARMUP:], tgts[NUM_WARMUP:], key, params, False,
         batch_size=bsz,
     )
-    rtes_b = [
-        float(se3.compute_rte(r.pose, jnp.asarray(pairs[NUM_WARMUP + i][2])))
-        for i, r in enumerate(res_b)
-    ]
+    # register_pairs_batched returns host-materialized results (one
+    # device_get per batch), so every pose is already on host here
+    poses_b = np.stack([np.asarray(r.pose) for r in res_b])
     elapsed_b = time.perf_counter() - t0
+    rtes_b = [
+        float(se3.compute_rte(jnp.asarray(poses_b[i]),
+                              jnp.asarray(pairs[NUM_WARMUP + i][2])))
+        for i in range(NUM_TIMED)
+    ]
     b_pps = NUM_TIMED / elapsed_b
     log(f"batched(B={bsz}): {NUM_TIMED} pairs in {elapsed_b:.2f}s -> "
         f"{b_pps:.3f} pairs/s")
     log(f"sanity RTE batched: median {np.median(rtes_b):.3f} m")
+
+    # BUFFER-X++ early-exit mode (the reference's headline benchmark
+    # configuration): confident pairs stop after scale 0
+    from bufferx_tpu.pipeline.registration import register_pair_early_exit
+
+    # compile both program variants
+    for i in range(NUM_WARMUP):
+        res = register_pair_early_exit(
+            cfg_ee, pairs[i][0], pairs[i][1], jax.random.PRNGKey(9),
+            params, False,
+        )
+        jax.block_until_ready(res)
+    poses_ee, results_ee = [], []
+    t0 = time.perf_counter()
+    for i in range(NUM_WARMUP, NUM_WARMUP + NUM_TIMED):
+        key, sub = jax.random.split(key)
+        res = register_pair_early_exit(
+            cfg_ee, pairs[i][0], pairs[i][1], sub, params, False
+        )
+        poses_ee.append(np.asarray(res.pose))  # fetch = sync
+        results_ee.append(res)
+    elapsed_ee = time.perf_counter() - t0
+    rtes_ee = [
+        float(se3.compute_rte(jnp.asarray(poses_ee[k]),
+                              jnp.asarray(pairs[NUM_WARMUP + k][2])))
+        for k in range(NUM_TIMED)
+    ]
+    exits = [int(r.scales_used) for r in results_ee]
+    ee_pps = NUM_TIMED / elapsed_ee
+    log(f"early-exit:   {NUM_TIMED} pairs in {elapsed_ee:.2f}s -> "
+        f"{ee_pps:.3f} pairs/s; scales used {exits}")
+    log(f"sanity RTE early-exit: median {np.median(rtes_ee):.3f} m")
 
     pairs_per_s = max(full_pps, ee_pps, b_pps)
 

@@ -522,29 +522,35 @@ def register_pairs_batched(
         staged.append((idx, keys, res0))
 
     # phase 2: fetch confidences (first fetch syncs; later ones are done),
-    # re-dispatch unconfident pairs through the full multi-scale program
+    # re-dispatch unconfident pairs through the full multi-scale program.
+    # Results are materialized on host ONE BATCH AT A TIME (device_get of
+    # the whole batch pytree) and sliced in numpy: per-pair device slices
+    # would each be their own tiny dispatch + transfer, which serializes on
+    # transport latency (measured ~45 ms/round-trip through the axon
+    # tunnel — 16 pair slices cost more than the batch compute itself).
     for idx, keys, res0 in staged:
-        inl = np.asarray(res0.num_inliers)
+        res0_h = jax.device_get(res0)
+        inl = res0_h.num_inliers
         redo = [
             j for j, i in enumerate(idx)
             if inl[j] < statics.early_exit_min_inliers
         ]
-        res_full = None
+        res_full_h = None
         if redo:
             take2 = [idx[0] + 0] * batch_size
             for slot, j in enumerate(redo):
                 take2[slot] = idx[j]
             sb2 = stack_clouds([srcs[i] for i in take2])
             tb2 = stack_clouds([tgts[i] for i in take2])
-            res_full = _register_batch_jit(
+            res_full_h = jax.device_get(_register_batch_jit(
                 params, statics, sb2, tb2, aligned, keys, all_scales
-            )
+            ))
         for j, i in enumerate(idx):
-            if j in redo and res_full is not None:
+            if j in redo and res_full_h is not None:
                 slot = redo.index(j)
-                results[i] = jax.tree.map(lambda x: x[slot], res_full)
+                results[i] = jax.tree.map(lambda x: x[slot], res_full_h)
             else:
-                results[i] = jax.tree.map(lambda x: x[j], res0)
+                results[i] = jax.tree.map(lambda x: x[j], res0_h)
     return results
 
 

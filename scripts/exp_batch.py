@@ -28,10 +28,15 @@ def main() -> int:
     )
     from bufferx_tpu.train.trainer import compose_staged_params
 
-    cfg = make_cfg("ModelNet40").override(match=dict(enable_early_exit=True))
+    mode = os.environ.get("BX_DESC_MODE", "moments")
+    cfg = make_cfg("ModelNet40").override(
+        match=dict(enable_early_exit=True),
+        patch=dict(desc_mode=mode),
+    )
     params = init_params(cfg, jax.random.PRNGKey(0))
+    snap = "synthetic_moments" if mode == "moments" else "synthetic"
     ckpt = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "snapshot", "synthetic")
+        os.path.abspath(__file__))), "snapshot", snap)
     params = compose_staged_params(
         os.path.join(ckpt, "Desc", "best.msgpack"),
         os.path.join(ckpt, "Pose", "best.msgpack"), params)
