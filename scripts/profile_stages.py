@@ -26,6 +26,8 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--scales", type=int, default=1)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--mode", choices=["sampled", "moments"],
+                    default="sampled")
     args = ap.parse_args()
 
     import jax
@@ -54,7 +56,7 @@ def main() -> int:
 
     from bufferx_tpu.data.modelnet import synthetic_pair_full_overlap
 
-    cfg = make_cfg("ModelNet40")
+    cfg = make_cfg("ModelNet40").override(patch=dict(desc_mode=args.mode))
     s = PipelineStatics.from_config(cfg)
     params = init_params(cfg, jax.random.PRNGKey(0))
     B = args.batch
@@ -152,22 +154,33 @@ def main() -> int:
     aligned, _ax, R2 = bench("LRF align", run_lrf, patches, kpts2)
     normed = aligned / des_r[:, None, None, None]
 
-    # ---- stage 6: SPT ------------------------------------------------------
+    # ---- stage 6: SPT (or moment pooling, per --mode) -----------------------
     g = s.rad_n * s.ele_n * s.azi_n
 
-    def run_spt(normed, pmask):
-        out = jax.vmap(
-            lambda p, m: spatial_point_transformer(
-                p, m, rad_n=s.rad_n, ele_n=s.ele_n, azi_n=s.azi_n,
-                delta=s.delta, nsample=s.voxel_sample, chunk=s.sphere_chunk,
-            )
-        )(normed, pmask)
-        # flatten trailing dims: [.., 10, 3] pads to [.., 16, 128] in tiled
-        # layout when materialized at a program boundary (41 GB!)
-        return out.reshape(B, out.shape[1], -1)
+    if args.mode == "moments":
+        from bufferx_tpu.pipeline.registration import _spt_features
 
-    inv = bench("SPT (cell query + derotate)", run_spt, normed, pmask)
-    inv = inv.reshape(B, inv.shape[1], g, s.voxel_sample, 3)
+        def run_spt(normed, pmask):
+            return jax.vmap(lambda p, m: _spt_features(p, m, s))(
+                normed, pmask
+            )
+
+        inv = bench("moment pooling + features", run_spt, normed, pmask)
+    else:
+        def run_spt(normed, pmask):
+            out = jax.vmap(
+                lambda p, m: spatial_point_transformer(
+                    p, m, rad_n=s.rad_n, ele_n=s.ele_n, azi_n=s.azi_n,
+                    delta=s.delta, nsample=s.voxel_sample,
+                    chunk=s.sphere_chunk,
+                )
+            )(normed, pmask)
+            # flatten trailing dims: [.., 10, 3] pads to [.., 16, 128] in
+            # tiled layout when materialized at a program boundary (41 GB!)
+            return out.reshape(B, out.shape[1], -1)
+
+        inv = bench("SPT (cell query + derotate)", run_spt, normed, pmask)
+        inv = inv.reshape(B, inv.shape[1], g, s.voxel_sample, 3)
 
     # ---- stage 7: descriptor net ------------------------------------------
     desc_model, pose_model = _models_from_statics(s)
