@@ -80,24 +80,25 @@ def read_trajectory_info(path: str, dim: int = 6):
 
 
 def walk_odometry_pairs(
-    positions: np.ndarray, pdist: float, exclude: Sequence[int] = ()
+    positions: np.ndarray, pdist: float, exclude: Sequence[tuple] = ()
 ) -> List[tuple]:
     """LiDAR pair enumeration: walk the trajectory emitting (i, j) whenever
     the accumulated translation exceeds ``pdist`` meters (reference
-    ``dataset/kitti.py:33-63``)."""
+    ``dataset/kitti.py:33-63``). ``exclude`` lists known-bad (i, j)
+    frame-index pairs to drop from the walk (reference ``kitti.py:60-61``
+    removes pair (drive 8, 15, 58))."""
     pairs = []
+    excluded = {(int(a), int(b)) for a, b in exclude}
     n = len(positions)
     i = 0
-    pair_idx = 0
     while i < n - 1:
         j = i + 1
         while j < n and np.linalg.norm(positions[j] - positions[i]) < pdist:
             j += 1
         if j >= n:
             break
-        if pair_idx not in exclude:
+        if (i, j) not in excluded:
             pairs.append((i, j))
-        pair_idx += 1
         i = j
     return pairs
 

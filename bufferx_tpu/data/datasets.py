@@ -279,7 +279,10 @@ class KITTIDataset(_OdometryDataset):
         return splits.KITTI[split]
 
     def exclude(self, seq):
-        # reference removes walk-pair (drive 8, t0 15, t1 58)
+        # reference removes the known-bad test pair (drive 8, frames 15->58)
+        # from the walk (dataset/kitti.py:60-61)
+        if self.split == "test" and int(seq) == 8:
+            return ((15, 58),)
         return ()
 
     def odometry(self, seq):

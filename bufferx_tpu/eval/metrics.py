@@ -53,16 +53,60 @@ def mat2quat(R: np.ndarray) -> np.ndarray:
     return q / np.linalg.norm(q)
 
 
+def _quat_imag_batch(R: np.ndarray) -> np.ndarray:
+    """Batched rotation matrices [M, 3, 3] -> imaginary quaternion parts
+    [M, 3], selecting per row the same numerically-stable branch as
+    :func:`mat2quat` (Shepperd's method)."""
+    R = np.asarray(R, np.float64)
+    m00, m11, m22 = R[:, 0, 0], R[:, 1, 1], R[:, 2, 2]
+    tr = m00 + m11 + m22
+    # candidate quaternions for each of the four branches, all rows
+    with np.errstate(invalid="ignore"):
+        s0 = 2.0 * np.sqrt(np.maximum(tr + 1.0, 0.0))
+        q0 = np.stack(
+            [s0 / 4,
+             (R[:, 2, 1] - R[:, 1, 2]) / s0,
+             (R[:, 0, 2] - R[:, 2, 0]) / s0,
+             (R[:, 1, 0] - R[:, 0, 1]) / s0], axis=-1)
+        s1 = 2.0 * np.sqrt(np.maximum(1.0 + m00 - m11 - m22, 0.0))
+        q1 = np.stack(
+            [(R[:, 2, 1] - R[:, 1, 2]) / s1,
+             s1 / 4,
+             (R[:, 0, 1] + R[:, 1, 0]) / s1,
+             (R[:, 0, 2] + R[:, 2, 0]) / s1], axis=-1)
+        s2 = 2.0 * np.sqrt(np.maximum(1.0 + m11 - m00 - m22, 0.0))
+        q2 = np.stack(
+            [(R[:, 0, 2] - R[:, 2, 0]) / s2,
+             (R[:, 0, 1] + R[:, 1, 0]) / s2,
+             s2 / 4,
+             (R[:, 1, 2] + R[:, 2, 1]) / s2], axis=-1)
+        s3 = 2.0 * np.sqrt(np.maximum(1.0 + m22 - m00 - m11, 0.0))
+        q3 = np.stack(
+            [(R[:, 1, 0] - R[:, 0, 1]) / s3,
+             (R[:, 0, 2] + R[:, 2, 0]) / s3,
+             (R[:, 1, 2] + R[:, 2, 1]) / s3,
+             s3 / 4], axis=-1)
+    branch = np.where(
+        tr > 0, 0,
+        np.where((m00 > m11) & (m00 > m22), 1, np.where(m11 > m22, 2, 3)),
+    )
+    q = np.choose(branch[:, None], [q0, q1, q2, q3])
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    return q[:, 1:]
+
+
 def transformation_error(trans: np.ndarray, info: np.ndarray) -> float:
     """Covariance-weighted pose error (``utils/tools.py:97-101``).
 
     trans: [4, 4] relative error transform (gt⁻¹ @ est); info: [6, 6]
-    information matrix from gt.info.
+    information matrix from gt.info. The 6-vector residual is
+    [translation, quaternion imaginary part]; the quadratic form is
+    normalized by ``info[0, 0]``.
     """
     t, r = trans[:3, 3], trans[:3, :3]
     q = mat2quat(r)
     er = np.concatenate([t, q[1:]], axis=0)
-    return float(er.reshape(1, 6) @ info @ er.reshape(6, 1) / info[0, 0])
+    return float(er @ info @ er / info[0, 0])
 
 
 def evaluate_registration_rmse(
@@ -74,41 +118,59 @@ def evaluate_registration_rmse(
     gt_info: np.ndarray,       # [G, 6, 6]
     err2: float = 0.2,
 ):
-    """3DMatch protocol recall (``utils/tools.py:104-129``).
+    """3DMatch/3DLoMatch protocol recall, vectorized over pairs.
 
-    Only non-consecutive pairs (j - i > 1) count. Returns
-    (precision-like recall over evaluated, recall over gt, flags,
-    per-pair errors).
+    Protocol semantics pinned to ``/root/reference/utils/tools.py:104-129``
+    (and to the golden tests in ``tests/test_eval.py``): only loop-closure
+    pairs (fragment gap > 1) are scored; an estimate succeeds when its
+    covariance-weighted error against gt.info is at most ``err2`` squared.
+    The reference keys eligible gt pairs through a dense id table and tests
+    ``table > 0``, which silently drops gt slot 0 — real gt.log files list a
+    consecutive pair first, so slot 0 is never eligible anyway; we replicate
+    the behavior exactly for bit-parity.
+
+    Returns ``(recall over evaluated, recall over gt, flags, errors)`` where
+    ``flags[m]`` is 0 = success, 1 = failure, 2 = not scored, and
+    ``errors[m]`` is the weighted error (NaN when not scored).
     """
-    err2 = err2**2
-    gt_mask = np.zeros((num_fragment, num_fragment), dtype=np.int64)
-    flags = []
-    errors = np.full(result_pairs.shape[0], np.nan)
+    result = np.asarray(result, np.float64)
+    result_pairs = np.asarray(result_pairs, np.int64)
+    gt_pairs = np.asarray(gt_pairs, np.int64)
+    n_est = result_pairs.shape[0]
 
-    for idx in range(gt_pairs.shape[0]):
-        i, j = int(gt_pairs[idx, 0]), int(gt_pairs[idx, 1])
-        if j - i > 1:
-            gt_mask[i, j] = idx
+    # dense (i, j) -> gt-slot table over loop-closure pairs only
+    slot_table = np.zeros((num_fragment, num_fragment), np.int64)
+    closure = gt_pairs[:, 1] - gt_pairs[:, 0] > 1
+    slot_table[gt_pairs[closure, 0], gt_pairs[closure, 1]] = np.nonzero(
+        closure
+    )[0]
+    n_gt = int(np.count_nonzero(slot_table))
 
-    good, n_res, n_gt = 0, 0, np.sum(gt_mask > 0)
-    for idx in range(result_pairs.shape[0]):
-        i, j = int(result_pairs[idx, 0]), int(result_pairs[idx, 1])
-        pose = result[idx]
-        if gt_mask[i, j] > 0:
-            n_res += 1
-            gt_idx = gt_mask[i, j]
-            p = transformation_error(
-                np.linalg.inv(gt[gt_idx]) @ pose, gt_info[gt_idx]
-            )
-            errors[idx] = p
-            if p <= err2:
-                good += 1
-                flags.append(0)
-            else:
-                flags.append(1)
-        else:
-            flags.append(2)
-    return good / max(n_res, 1e-6), good / max(n_gt, 1e-6), flags, errors
+    slots = slot_table[result_pairs[:, 0], result_pairs[:, 1]]
+    scored = slots > 0
+    errors = np.full(n_est, np.nan)
+    flags = np.full(n_est, 2, np.int64)
+    if np.any(scored):
+        g = slots[scored]
+        # relative error transform gt⁻¹ @ est for every scored pair at once
+        rel = np.linalg.inv(gt[g]) @ result[scored]
+        resid = np.concatenate(
+            [rel[:, :3, 3], _quat_imag_batch(rel[:, :3, :3])], axis=-1
+        )
+        info = np.asarray(gt_info, np.float64)[g]
+        werr = (
+            np.einsum("mi,mij,mj->m", resid, info, resid) / info[:, 0, 0]
+        )
+        errors[scored] = werr
+        flags[scored] = np.where(werr <= err2 * err2, 0, 1)
+    good = int(np.count_nonzero(flags == 0))
+    n_scored = int(np.count_nonzero(scored))
+    return (
+        good / max(n_scored, 1e-6),
+        good / max(n_gt, 1e-6),
+        flags.tolist(),
+        errors,
+    )
 
 
 def pairwise_recall(

@@ -112,12 +112,28 @@ class TestWalking:
         assert pairs[0] == (0, 3)
         assert pairs[1] == (3, 6)
 
-    def test_exclusion(self):
+    def test_exclusion_drops_exactly_the_poisoned_pair(self):
+        # synthetic trajectory 1 m/frame; pdist 2.5 -> (0,3),(3,6),(6,9)
         positions = np.stack(
-            [np.arange(10), np.zeros(10), np.zeros(10)], axis=-1
+            [np.arange(12), np.zeros(12), np.zeros(12)], axis=-1
         ).astype(float)
-        pairs = walk_odometry_pairs(positions, 2.5, exclude=(0,))
-        assert pairs[0] == (3, 6)
+        full = walk_odometry_pairs(positions, 2.5)
+        poisoned = full[1]  # (3, 6)
+        pairs = walk_odometry_pairs(positions, 2.5, exclude=(poisoned,))
+        assert poisoned not in pairs
+        assert pairs == [p for p in full if p != poisoned]
+
+    def test_kitti_bad_pair_excluded(self):
+        # KITTIDataset.exclude must name the reference's bad pair
+        # (drive 8, frames 15 -> 58) on the test split only
+        from bufferx_tpu.data.datasets import KITTIDataset
+
+        ds = KITTIDataset.__new__(KITTIDataset)
+        ds.split = "test"
+        assert ds.exclude(8) == ((15, 58),)
+        assert ds.exclude(0) == ()
+        ds.split = "train"
+        assert ds.exclude(8) == ()
 
 
 class TestICP:

@@ -89,6 +89,58 @@ class TestRmseProtocol:
         assert recall == 0.0
         assert flags == [2, 1, 1]  # consecutive pair excluded, others fail
 
+    def test_vectorized_matches_scalar_loop(self):
+        # golden protocol-equivalence check: the vectorized implementation
+        # must agree with a direct per-pair evaluation of the reference's
+        # scoring rule (utils/tools.py:104-129 semantics)
+        rs = np.random.RandomState(7)
+        num_fragment = 12
+        gt_pairs, gts, infos = [[0, 1]], [np.eye(4)], [np.eye(6)]
+        for i in range(num_fragment):
+            for j in range(i + 2, min(i + 6, num_fragment)):
+                gt_pairs.append([i, j])
+                th = rs.randn(3) * 0.3
+                c, s = np.cos(th[0]), np.sin(th[0])
+                T = np.eye(4)
+                T[:3, :3] = np.array(
+                    [[c, -s, 0], [s, c, 0], [0, 0, 1.0]]
+                )
+                T[:3, 3] = rs.randn(3)
+                gts.append(T)
+                A = rs.randn(6, 6)
+                infos.append(A @ A.T + np.eye(6) * 50)
+        gt_pairs = np.asarray(gt_pairs)
+        gts, infos = np.stack(gts), np.stack(infos)
+        # estimates: gt perturbed by varying amounts (some pass, some fail)
+        est = gts.copy()
+        est[:, :3, 3] += rs.randn(len(gts), 3) * 0.15
+        recall, recall_gt, flags, errors = metrics.evaluate_registration_rmse(
+            num_fragment, est, gt_pairs.copy(), gt_pairs, gts, infos
+        )
+        # scalar oracle
+        table = {}
+        for idx, (i, j) in enumerate(gt_pairs):
+            if j - i > 1:
+                table[(i, j)] = idx
+        good = n_res = 0
+        n_gt = sum(1 for v in table.values() if v > 0)
+        for m, (i, j) in enumerate(gt_pairs):
+            g = table.get((int(i), int(j)), 0)
+            if g > 0:
+                n_res += 1
+                p = metrics.transformation_error(
+                    np.linalg.inv(gts[g]) @ est[m], infos[g]
+                )
+                np.testing.assert_allclose(errors[m], p, rtol=1e-9)
+                assert flags[m] == (0 if p <= 0.04 else 1)
+                good += p <= 0.04
+            else:
+                assert flags[m] == 2
+                assert np.isnan(errors[m])
+        np.testing.assert_allclose(recall, good / max(n_res, 1e-6))
+        np.testing.assert_allclose(recall_gt, good / max(n_gt, 1e-6))
+        assert 0 < recall < 1  # the perturbations straddle the threshold
+
     def test_consecutive_pairs_excluded(self):
         num_fragment = 5
         gt_pairs = np.asarray([[0, 1], [1, 2]])  # all consecutive
