@@ -134,23 +134,78 @@ class _FragmentDataset(PairDataset):
 
 
 class ThreeDMatchDataset(_FragmentDataset):
-    """8-scene 3DMatch / 3DLoMatch test benchmark
-    (``dataset/threedmatch.py``). root layout:
-    ``root/test/{3DMatch/gt_result/<scene>|3DLoMatch/<scene>}/gt.log`` and
-    fragments at ``root/test/3DMatch/fragments/<scene>/cloud_bin_N.ply``."""
+    """3DMatch fragments (``dataset/threedmatch.py``).
+
+    test: the 8-scene 3DMatch / 3DLoMatch benchmark at
+    ``root/test/{3DMatch/gt_result/<scene>|3DLoMatch/<scene>}/gt.log`` with
+    fragments at ``root/test/3DMatch/fragments/<scene>/cloud_bin_N.ply``.
+
+    train / val: overlap-manifest pairs over the *training* scenes
+    (reference ``dataset/threedmatch.py:21-34``), NEVER the test benchmark:
+
+    - ``root/train/3DMatch_train_overlap.pkl`` — pickled dict whose keys are
+      ``"<src_id>@<tgt_id>"`` (fragment ids relative to ``root/train``, e.g.
+      ``"sun3d-.../seq-01/cloud_bin_3"``) for fragment pairs with sufficient
+      overlap;
+    - ``root/train/{train,val}_3dmatch.txt`` — whitespace-separated scene
+      lists selecting the split;
+    - per fragment: ``<id>.ply`` cloud + ``<id>.pose.npy`` world pose
+      (relative GT = inv(tgt_pose) @ src_pose, ``threedmatch.py:113-115``).
+    """
 
     def __init__(self, cfg: Config, split: str = "test"):
         super().__init__(cfg, split)
-        benchmark = cfg.benchmark or "3DMatch"
-        root = join(cfg.data.root, "test")
-        _require(root, "ThreeDMatch/test/{3DMatch,3DLoMatch}/...")
-        for scene in splits.THREEDMATCH_TEST_SCENES:
-            if benchmark == "3DMatch":
-                gtpath = join(root, "3DMatch", "gt_result", scene)
-            else:
-                gtpath = join(root, "3DLoMatch", scene)
-            pcd_dir = join(root, "3DMatch", "fragments", scene)
-            self._add_scene(gtpath, pcd_dir, "cloud_bin_{}.ply")
+        if split == "test":
+            benchmark = cfg.benchmark or "3DMatch"
+            root = join(cfg.data.root, "test")
+            _require(root, "ThreeDMatch/test/{3DMatch,3DLoMatch}/...")
+            for scene in splits.THREEDMATCH_TEST_SCENES:
+                if benchmark == "3DMatch":
+                    gtpath = join(root, "3DMatch", "gt_result", scene)
+                else:
+                    gtpath = join(root, "3DLoMatch", scene)
+                pcd_dir = join(root, "3DMatch", "fragments", scene)
+                self._add_scene(gtpath, pcd_dir, "cloud_bin_{}.ply")
+        else:
+            self._prepare_train_pairs(split)
+
+    def _prepare_train_pairs(self, split: str):
+        import pickle
+
+        root = join(self.cfg.data.root, "train")
+        manifest = join(root, "3DMatch_train_overlap.pkl")
+        scene_file = join(root, f"{split}_3dmatch.txt")
+        _require(
+            manifest,
+            "ThreeDMatch/train/{3DMatch_train_overlap.pkl,"
+            f"{split}_3dmatch.txt,<scene>/seq-NN/cloud_bin_N.ply"
+            " + .pose.npy} — training must NOT enumerate the test benchmark",
+        )
+        _require(scene_file, f"ThreeDMatch/train/{split}_3dmatch.txt")
+        with open(manifest, "rb") as f:
+            overlap = pickle.load(f)
+        with open(scene_file) as f:
+            scenes = set(f.read().split())
+        self._train_root = root
+        for key in sorted(overlap):
+            src_id, tgt_id = key.split("@")
+            if src_id.split("/")[0] in scenes:
+                self.pairs.append((src_id, tgt_id))
+
+    def load_pair(self, desc):
+        if len(desc) == 3:  # test: (src_path, tgt_path, gt.log pose)
+            return super().load_pair(desc)
+        src_id, tgt_id = desc
+        if self.rng.rand() > 0.5:  # random direction (threedmatch.py:69-71)
+            src_id, tgt_id = tgt_id, src_id
+        sp = join(self._train_root, src_id)
+        tp = join(self._train_root, tgt_id)
+        src = read_points(sp + ".ply")
+        tgt = read_points(tp + ".ply")
+        src_pose = np.load(sp + ".pose.npy")
+        tgt_pose = np.load(tp + ".pose.npy")
+        relt = np.linalg.inv(tgt_pose) @ src_pose
+        return src, tgt, relt, src_id, tgt_id, {}
 
 
 class ETHDataset(_FragmentDataset):

@@ -274,13 +274,31 @@ def _solve(statics: PipelineStatics, ss, tt, pool, valid, key):
     return res.pose, res.num_inliers
 
 
-def _register_impl(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
-                   is_aligned, key, scales: tuple):
-    """Core pipeline over the given static scale subset."""
-    cfg_scales = scales
-    desc_model, pose_model = _models_from_statics(statics)
-    keys = jax.random.split(key, 4 + 2 * len(cfg_scales))
+class _Shared(NamedTuple):
+    """Scale-independent precomputation: FPS keypoints, the dense
+    keypoint-to-cloud distance matrices, and the per-scale radii."""
 
+    src_kpts: jnp.ndarray
+    tgt_kpts: jnp.ndarray
+    src_kpts_v: jnp.ndarray
+    tgt_kpts_v: jnp.ndarray
+    d2_src: jnp.ndarray
+    d2_tgt: jnp.ndarray
+    radii: jnp.ndarray
+
+
+class _Candidates(NamedTuple):
+    """Per-correspondence pose candidates from one (or more) scales."""
+
+    ss: jnp.ndarray      # [K, 3] src keypoints
+    tt: jnp.ndarray      # [K, 3] matched tgt keypoints
+    Rc: jnp.ndarray      # [K, 3, 3] candidate rotations
+    tc: jnp.ndarray      # [K, 3] candidate translations
+    valid: jnp.ndarray   # [K] mutual-match bits
+    d2: jnp.ndarray      # [K] descriptor match distance
+
+
+def _precompute(statics: PipelineStatics, src: Cloud, tgt: Cloud) -> _Shared:
     # one FPS per cloud serves probes (radius estimation) and keypoints;
     # both clouds go through one vmapped call so the Pallas kernel
     # interleaves their (independent) sequential chains in one program
@@ -290,10 +308,6 @@ def _register_impl(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
     s_idx, t_idx = st_idx[0], st_idx[1]
     s_v, t_v = st_v[0], st_v[1]
     s_probe, t_probe = src.xyz[s_idx], tgt.xyz[t_idx]
-    src_kpts = s_probe[: statics.num_fps]
-    tgt_kpts = t_probe[: statics.num_fps]
-    src_kpts_v = s_v[: statics.num_fps]
-    tgt_kpts_v = t_v[: statics.num_fps]
 
     # one [probes, points] distance matrix per cloud, shared by radius
     # estimation and every scale's patch extraction (the dense [K, N]
@@ -309,54 +323,60 @@ def _register_impl(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
         jnp.where(use_src, d2_src, d2_tgt), pts_m, probes_m,
         thresholds=statics.thresholds, max_r=statics.radius_max,
     )
+    nf = statics.num_fps
+    return _Shared(
+        src_kpts=s_probe[:nf], tgt_kpts=t_probe[:nf],
+        src_kpts_v=s_v[:nf], tgt_kpts_v=t_v[:nf],
+        d2_src=d2_src, d2_tgt=d2_tgt, radii=radii,
+    )
 
-    # per-scale: embed both clouds in ONE model call (halves conv weight
-    # traffic and per-call overheads), match, predict SO(2), pose candidates
-    all_ss, all_tt, all_R, all_t, all_valid, all_d2 = [], [], [], [], [], []
-    for j, i in enumerate(cfg_scales):
-        des_r = jnp.maximum(radii[i], 1e-3)
-        desc2, equi2, R2 = _embed_two(
-            params, statics, src, tgt, src_kpts, tgt_kpts, des_r,
-            is_aligned, keys[4 + 2 * j], desc_model,
-            d2_src=d2_src[: statics.num_fps],
-            d2_tgt=d2_tgt[: statics.num_fps],
-        )
-        nf = statics.num_fps
-        s_desc, t_desc = desc2[:nf], desc2[nf:]
-        s_equi, t_equi = equi2[:nf], equi2[nf:]
-        s_R, t_R = R2[:nf], R2[nf:]
-        nn, mutual, nn_d2 = mutual_nearest(
-            s_desc, t_desc, src_kpts_v, tgt_kpts_v
-        )
 
-        ss_kpts = src_kpts
-        tt_kpts = tgt_kpts[nn]
-        ss_equi, tt_equi = s_equi, t_equi[nn]
-        ss_R, tt_R = s_R, t_R[nn]
+def _scale_candidates(params, statics: PipelineStatics, src: Cloud,
+                      tgt: Cloud, pre: _Shared, scale: int, is_aligned,
+                      key, desc_model, pose_model) -> _Candidates:
+    """One scale: embed both clouds in ONE model call (halves conv weight
+    traffic and per-call overheads), match, predict SO(2), pose candidates."""
+    des_r = jnp.maximum(pre.radii[scale], 1e-3)
+    nf = statics.num_fps
+    desc2, equi2, R2 = _embed_two(
+        params, statics, src, tgt, pre.src_kpts, pre.tgt_kpts, des_r,
+        is_aligned, key, desc_model,
+        d2_src=pre.d2_src[:nf], d2_tgt=pre.d2_tgt[:nf],
+    )
+    s_desc, t_desc = desc2[:nf], desc2[nf:]
+    s_equi, t_equi = equi2[:nf], equi2[nf:]
+    s_R, t_R = R2[:nf], R2[nf:]
+    nn, mutual, nn_d2 = mutual_nearest(
+        s_desc, t_desc, pre.src_kpts_v, pre.tgt_kpts_v
+    )
 
-        e = statics.ele_n
-        ind = pose_model.apply(
-            params["pose"],
-            ss_equi[:, :, 1 : e - 1], tt_equi[:, :, 1 : e - 1],
-            train=False,
-        )
-        R_c, t_c = so2_pose_candidates(
-            ss_kpts, tt_kpts, ss_R, tt_R, ind, statics.azi_n
-        )
-        all_ss.append(ss_kpts)
-        all_tt.append(tt_kpts)
-        all_R.append(R_c)
-        all_t.append(t_c)
-        all_valid.append(mutual)
-        all_d2.append(nn_d2)
+    tt_kpts = pre.tgt_kpts[nn]
+    ss_equi, tt_equi = s_equi, t_equi[nn]
+    ss_R, tt_R = s_R, t_R[nn]
 
-    ss = jnp.concatenate(all_ss)
-    tt = jnp.concatenate(all_tt)
-    Rc = jnp.concatenate(all_R)
-    tc = jnp.concatenate(all_t)
-    valid = jnp.concatenate(all_valid)
-    d2 = jnp.concatenate(all_d2)
+    e = statics.ele_n
+    ind = pose_model.apply(
+        params["pose"],
+        ss_equi[:, :, 1 : e - 1], tt_equi[:, :, 1 : e - 1],
+        train=False,
+    )
+    R_c, t_c = so2_pose_candidates(
+        pre.src_kpts, tt_kpts, ss_R, tt_R, ind, statics.azi_n
+    )
+    return _Candidates(
+        ss=pre.src_kpts, tt=tt_kpts, Rc=R_c, tc=t_c, valid=mutual, d2=nn_d2
+    )
 
+
+def _cat_candidates(cands: list) -> _Candidates:
+    return _Candidates(*(jnp.concatenate(xs) for xs in zip(*cands)))
+
+
+def _pool_and_solve(statics: PipelineStatics, cand: _Candidates, key,
+                    src: Cloud, tgt: Cloud,
+                    num_scales_used: int) -> RegistrationResult:
+    """Cross-scale consensus -> sampling pool -> pose solve -> result."""
+    ss, tt, Rc, tc, valid, d2 = cand
     consensus_mask, _best, n_consensus = cross_scale_consensus(
         Rc, tc, ss, tt, valid,
         azi_n=statics.azi_n, inlier_th=statics.inlier_th,
@@ -376,7 +396,7 @@ def _register_impl(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
         jnp.where(jnp.sum(confident) >= 8, confident, valid),
     )
 
-    pose, num_inliers = _solve(statics, ss, tt, pool, valid, keys[0])
+    pose, num_inliers = _solve(statics, ss, tt, pool, valid, key)
 
     if statics.pose_refine:
         pose = post_refinement(
@@ -391,8 +411,26 @@ def _register_impl(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
         num_inliers=num_inliers,
         num_mutual=num_mutual,
         num_consensus=n_consensus.astype(jnp.int32),
-        scales_used=jnp.asarray(len(cfg_scales), jnp.int32),
+        scales_used=jnp.asarray(num_scales_used, jnp.int32),
         valid=result_valid,
+    )
+
+
+def _register_impl(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
+                   is_aligned, key, scales: tuple):
+    """Core pipeline over the given static scale subset."""
+    desc_model, pose_model = _models_from_statics(statics)
+    keys = jax.random.split(key, 4 + 2 * len(scales))
+    pre = _precompute(statics, src, tgt)
+    cands = [
+        _scale_candidates(
+            params, statics, src, tgt, pre, i, is_aligned,
+            keys[4 + 2 * j], desc_model, pose_model,
+        )
+        for j, i in enumerate(scales)
+    ]
+    return _pool_and_solve(
+        statics, _cat_candidates(cands), keys[0], src, tgt, len(scales)
     )
 
 
@@ -420,12 +458,23 @@ def register_pair_jit(
     scales = scales if scales is not None else tuple(range(statics.num_scales))
     if statics.enable_early_exit and len(scales) > 1:
         # masked early exit: identical results to the reference's branch —
-        # prefer the scale-0 solution when it is confident.
-        res0 = _register_impl(
-            params, statics, src, tgt, is_aligned, key, (scales[0],)
-        )
-        res_all = _register_impl(
-            params, statics, src, tgt, is_aligned, key, scales
+        # prefer the scale-0 solution when it is confident. Embedding and
+        # candidate generation run ONCE per scale; only the (cheap)
+        # consensus+solve runs twice (scale-0 pool and full pool), so this
+        # costs ~the no-early-exit program plus one extra solve.
+        desc_model, pose_model = _models_from_statics(statics)
+        keys = jax.random.split(key, 4 + 2 * len(scales))
+        pre = _precompute(statics, src, tgt)
+        cands = [
+            _scale_candidates(
+                params, statics, src, tgt, pre, i, is_aligned,
+                keys[4 + 2 * j], desc_model, pose_model,
+            )
+            for j, i in enumerate(scales)
+        ]
+        res0 = _pool_and_solve(statics, cands[0], keys[0], src, tgt, 1)
+        res_all = _pool_and_solve(
+            statics, _cat_candidates(cands), keys[0], src, tgt, len(scales)
         )
         take0 = res0.num_inliers >= statics.early_exit_min_inliers
         pick = lambda a, b: jnp.where(take0, a, b)  # noqa: E731

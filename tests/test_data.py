@@ -176,6 +176,66 @@ class TestLoaders:
         assert sample["dataset_name"] == "ETH"
         assert isinstance(sample["is_aligned_to_global_z"], bool)
 
+    def _make_3dmatch_train(self, root, rng):
+        import pickle
+
+        from bufferx_tpu.utils.vis import save_ply
+
+        train = os.path.join(root, "train")
+        poses = {}
+        overlap = {}
+        for scene in ("scene-a", "scene-b"):
+            seq = os.path.join(train, scene, "seq-01")
+            os.makedirs(seq, exist_ok=True)
+            for i in range(3):
+                pts = (rng.randn(800, 3)).astype(np.float32)
+                T = np.eye(4)
+                T[:3, 3] = rng.randn(3)
+                fid = f"{scene}/seq-01/cloud_bin_{i}"
+                save_ply(os.path.join(train, fid + ".ply"), pts)
+                np.save(os.path.join(train, fid + ".pose.npy"), T)
+                poses[fid] = T
+            overlap[f"{scene}/seq-01/cloud_bin_0@{scene}/seq-01/cloud_bin_1"] = 0.7
+            overlap[f"{scene}/seq-01/cloud_bin_1@{scene}/seq-01/cloud_bin_2"] = 0.5
+        with open(os.path.join(train, "3DMatch_train_overlap.pkl"), "wb") as f:
+            pickle.dump(overlap, f)
+        with open(os.path.join(train, "train_3dmatch.txt"), "w") as f:
+            f.write("scene-a\n")
+        with open(os.path.join(train, "val_3dmatch.txt"), "w") as f:
+            f.write("scene-b\n")
+        return poses
+
+    def test_3dmatch_train_val_pairing(self, tmp_path, rng):
+        from bufferx_tpu.data.datasets import ThreeDMatchDataset
+
+        poses = self._make_3dmatch_train(str(tmp_path), rng)
+        cfg = make_cfg("3DMatch", str(tmp_path))
+        ds_train = ThreeDMatchDataset(cfg, "train")
+        ds_val = ThreeDMatchDataset(cfg, "val")
+        # splits are disjoint by scene and never touch the test benchmark
+        assert len(ds_train) == 2 and len(ds_val) == 2
+        assert all(a.startswith("scene-a") for p in ds_train.pairs for a in p)
+        assert all(b.startswith("scene-b") for p in ds_val.pairs for b in p)
+        src, tgt, relt, src_id, tgt_id, _ = ds_train.load_pair(
+            ds_train.pairs[0]
+        )
+        np.testing.assert_allclose(
+            relt, np.linalg.inv(poses[tgt_id]) @ poses[src_id], atol=1e-6
+        )
+        sample = ds_train[0]
+        assert sample["src_points"].shape[1] == 3
+        assert sample["relt_pose"].shape == (4, 4)
+
+    def test_3dmatch_train_refuses_without_manifest(self, tmp_path):
+        # no train manifest -> training must fail loudly, never fall back
+        # to enumerating the test benchmark (the round-1 protocol bug)
+        from bufferx_tpu.data.datasets import ThreeDMatchDataset
+
+        os.makedirs(tmp_path / "test" / "3DMatch", exist_ok=True)
+        cfg = make_cfg("3DMatch", str(tmp_path))
+        with pytest.raises(FileNotFoundError, match="test benchmark"):
+            ThreeDMatchDataset(cfg, "train")
+
     def test_missing_root_raises_with_hint(self, tmp_path):
         cfg = make_cfg("KITTI", str(tmp_path / "nope"))
         with pytest.raises(FileNotFoundError, match="expected layout"):
