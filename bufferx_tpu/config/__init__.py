@@ -114,6 +114,10 @@ class PatchConfig:
     # one MXU matmul per patch, 16x less HBM traffic; needs a checkpoint
     # trained in the same mode.
     desc_mode: str = "sampled"
+    # ball-query slot selection: approximate random top-k (cheaper) vs
+    # exact. The hard-benchmark gate (scripts/exp_hard.py) quantifies the
+    # quality delta between the two.
+    exact_topk: bool = False
 
 
 @dataclass(frozen=True)

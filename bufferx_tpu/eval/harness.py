@@ -21,6 +21,7 @@ from bufferx_tpu.pipeline.registration import (
     PipelineStatics,
     prepare_cloud,
     register_pair_jit,
+    register_pair_timed,
 )
 from bufferx_tpu.utils.result_io import (
     write_per_sample_csv,
@@ -46,6 +47,7 @@ def evaluate_pairs(
     log=None,
     profile_dir: str | None = None,
     progress: bool = False,
+    enable_timing: bool = False,
 ) -> dict:
     """Sequential per-pair evaluation with the reference timing protocol.
 
@@ -53,11 +55,18 @@ def evaluate_pairs(
     [M,3] (numpy, already voxel-downsampled by the loader), ``relt_pose``
     [4,4], ``src_id``, ``tgt_id``, ``is_aligned_to_global_z`` (bool) and
     optionally ``dataset_name``.
+
+    ``enable_timing`` switches to the per-phase-fenced pipeline
+    (:func:`register_pair_timed`): the per-sample CSV's desc/pose/
+    pose-optim columns carry real measured seconds (reference
+    ``utils/result_io.py:21-25``) at the cost of two extra host syncs per
+    pair; leave it off for headline throughput.
     """
     statics = PipelineStatics.from_config(cfg)
     meters = _meters(
         ["rte", "rre", "success", "num_inliers", "num_mutual",
-         "num_consensus", "scales_used", "data_time", "model_time"]
+         "num_consensus", "scales_used", "data_time", "model_time",
+         "desc_time", "pose_time", "pose_optim_time"]
     )
     rows = []
     rte_succ, rre_succ = AverageMeter(), AverageMeter()
@@ -81,8 +90,16 @@ def evaluate_pairs(
         data_timer.toc()
 
         key, sub = jax.random.split(key)
+        phases = {"desc_time": 0.0, "pose_time": 0.0, "pose_optim_time": 0.0}
         with DeviceTimer() as t:
-            res = register_pair_jit(params, statics, src, tgt, aligned, sub)
+            if enable_timing:
+                res, phases = register_pair_timed(
+                    params, statics, src, tgt, aligned, sub
+                )
+            else:
+                res = register_pair_jit(
+                    params, statics, src, tgt, aligned, sub
+                )
             t.block_on(res)
 
         T_gt = jnp.asarray(np.asarray(sample["relt_pose"], np.float32))
@@ -94,6 +111,9 @@ def evaluate_pairs(
         if include_timing:
             meters["data_time"].update(data_timer.diff)
             meters["model_time"].update(t.diff)
+            if enable_timing:
+                for k, v in phases.items():
+                    meters[k].update(v)
         meters["rte"].update(rte)
         meters["rre"].update(rre)
         meters["success"].update(float(success))
@@ -118,9 +138,9 @@ def evaluate_pairs(
                 scales_used=int(res.scales_used),
                 data_time=data_timer.diff,
                 model_time=t.diff,
-                desc_time=0.0,
-                pose_time=0.0,
-                pose_optim_time=0.0,
+                desc_time=phases["desc_time"],
+                pose_time=phases["pose_time"],
+                pose_optim_time=phases["pose_optim_time"],
                 dataset=sample.get("dataset_name", cfg.data.dataset),
                 pose=np.asarray(res.pose),
             )
@@ -156,6 +176,10 @@ def evaluate_pairs(
         model_time_mean=meters["model_time"].avg,
         model_time_std=meters["model_time"].std,
     )
+    if enable_timing:
+        for k in ("desc_time", "pose_time", "pose_optim_time"):
+            summary[f"{k}_mean"] = meters[k].avg
+            summary[f"{k}_std"] = meters[k].std
     if csv_path:
         write_per_sample_csv(csv_path, rows)
     if summary_csv_path:

@@ -13,6 +13,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
@@ -34,8 +35,11 @@ def make_sharded_eval(params: Any, statics: PipelineStatics, mesh: Mesh,
     """Returns ``eval_fn(src_batch: Cloud[B,...], tgt_batch, aligned[B],
     keys[B]) -> RegistrationResult[B, ...]`` with B sharded over the mesh.
 
-    B must be a multiple of the mesh size. Results come back sharded; the
-    caller reduces metrics on host (or wraps in further psums).
+    Any B is accepted: a ragged tail (B not a multiple of the mesh size) is
+    padded host-side by repeating the last pair up to the next multiple, and
+    the padded slots are sliced off the result. Each distinct padded size
+    compiles once. Results come back sharded; the caller reduces metrics on
+    host (or wraps in further psums).
     """
 
     def local_eval(src, tgt, aligned, keys):
@@ -45,14 +49,32 @@ def make_sharded_eval(params: Any, statics: PipelineStatics, mesh: Mesh,
 
     spec = P(axis)
     cloud_spec = Cloud(xyz=spec, mask=spec)
-    sharded = shard_map(
+    sharded = jax.jit(shard_map(
         local_eval,
         mesh=mesh,
         in_specs=(cloud_spec, cloud_spec, spec, spec),
         out_specs=spec,
         check_vma=False,
-    )
-    return jax.jit(sharded)
+    ))
+    n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+    def eval_fn(src: Cloud, tgt: Cloud, aligned, keys):
+        b = src.xyz.shape[0]
+        tail = (-b) % n_shards
+        if tail:
+            def pad(x):
+                return jnp.concatenate(
+                    [x, jnp.broadcast_to(x[-1:], (tail,) + x.shape[1:])]
+                )
+
+            res = sharded(
+                jax.tree.map(pad, src), jax.tree.map(pad, tgt),
+                pad(aligned), pad(keys),
+            )
+            return jax.tree.map(lambda x: x[:b], res)
+        return sharded(src, tgt, aligned, keys)
+
+    return eval_fn
 
 
 def make_sharded_train_step(cfg: Config, mesh: Mesh, optimizer=None,

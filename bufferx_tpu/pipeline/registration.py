@@ -58,6 +58,7 @@ __all__ = [
     "prepare_cloud",
     "register_pair",
     "register_pair_jit",
+    "register_pair_timed",
     "register_pair_early_exit",
     "register_pairs_batched",
     "stack_clouds",
@@ -108,6 +109,7 @@ class PipelineStatics:
     kiss_resolution: float
     use_bf16: bool = True   # conv stacks in bfloat16 at inference (MXU 2x)
     desc_mode: str = "sampled"   # cell pooling: "sampled" | "moments"
+    exact_topk: bool = False     # exact ball-query slot selection
 
     @classmethod
     def from_config(cls, cfg: Config) -> "PipelineStatics":
@@ -139,6 +141,7 @@ class PipelineStatics:
             early_exit_min_inliers=cfg.match.early_exit_min_inliers,
             kiss_resolution=cfg.match.kiss_resolution,
             desc_mode=cfg.patch.desc_mode,
+            exact_topk=cfg.patch.exact_topk,
         )
 
 
@@ -213,7 +216,7 @@ def _spt_features(normed, pmask, statics: PipelineStatics):
         normed, pmask,
         rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
         delta=statics.delta, nsample=statics.voxel_sample,
-        chunk=statics.sphere_chunk,
+        chunk=statics.sphere_chunk, use_approx=not statics.exact_topk,
     )
 
 
@@ -230,11 +233,11 @@ def _embed_two(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
     ks1, ks2 = jax.random.split(key)
     sp, sm = select_patches(
         src.xyz, src.mask, src_kpts, des_r, ks1, statics.patch_sample,
-        d2=d2_src,
+        use_approx=not statics.exact_topk, d2=d2_src,
     )
     tp, tm = select_patches(
         tgt.xyz, tgt.mask, tgt_kpts, des_r, ks2, statics.patch_sample,
-        d2=d2_tgt,
+        use_approx=not statics.exact_topk, d2=d2_tgt,
     )
     patches = jnp.concatenate([sp, tp])
     pmask = jnp.concatenate([sm, tm])
@@ -251,7 +254,8 @@ def _embed(params, statics: PipelineStatics, cloud: Cloud, kpts, des_r,
            is_aligned, key, desc_model):
     """Keypoints -> (desc [K, 32], equi [K, C, ele, azi], R [K, 3, 3])."""
     patches, pmask = select_patches(
-        cloud.xyz, cloud.mask, kpts, des_r, key, statics.patch_sample
+        cloud.xyz, cloud.mask, kpts, des_r, key, statics.patch_sample,
+        use_approx=not statics.exact_topk,
     )
     delta = patches - kpts[:, None, :]
     aligned, _rand_axis, R = align_patches(delta, kpts, is_aligned)
@@ -373,9 +377,12 @@ def _cat_candidates(cands: list) -> _Candidates:
 
 
 def _pool_and_solve(statics: PipelineStatics, cand: _Candidates, key,
-                    src: Cloud, tgt: Cloud,
-                    num_scales_used: int) -> RegistrationResult:
-    """Cross-scale consensus -> sampling pool -> pose solve -> result."""
+                    src: Cloud, tgt: Cloud, num_scales_used: int,
+                    refine: bool | None = None) -> RegistrationResult:
+    """Cross-scale consensus -> sampling pool -> pose solve -> result.
+
+    ``refine`` overrides ``statics.pose_refine`` (the timed path fences
+    refinement as its own program)."""
     ss, tt, Rc, tc, valid, d2 = cand
     consensus_mask, _best, n_consensus = cross_scale_consensus(
         Rc, tc, ss, tt, valid,
@@ -398,7 +405,7 @@ def _pool_and_solve(statics: PipelineStatics, cand: _Candidates, key,
 
     pose, num_inliers = _solve(statics, ss, tt, pool, valid, key)
 
-    if statics.pose_refine:
+    if statics.pose_refine if refine is None else refine:
         pose = post_refinement(
             pose, ss, tt, valid, statics.dist_th, num_iters=statics.irls_iters
         )
@@ -601,6 +608,98 @@ def register_pairs_batched(
             else:
                 results[i] = jax.tree.map(lambda x: x[j], res0_h)
     return results
+
+
+@functools.partial(jax.jit, static_argnames=("statics", "scales"))
+def _candidates_stage_jit(params, statics: PipelineStatics, src: Cloud,
+                          tgt: Cloud, is_aligned, key, scales: tuple):
+    desc_model, pose_model = _models_from_statics(statics)
+    keys = jax.random.split(key, 4 + 2 * len(scales))
+    pre = _precompute(statics, src, tgt)
+    cands = [
+        _scale_candidates(
+            params, statics, src, tgt, pre, i, is_aligned,
+            keys[4 + 2 * j], desc_model, pose_model,
+        )
+        for j, i in enumerate(scales)
+    ]
+    return _cat_candidates(cands), keys[0]
+
+
+@functools.partial(jax.jit, static_argnames=("statics", "num_scales_used"))
+def _solve_stage_jit(statics: PipelineStatics, cand: _Candidates, key,
+                     src: Cloud, tgt: Cloud, num_scales_used: int):
+    return _pool_and_solve(
+        statics, cand, key, src, tgt, num_scales_used, refine=False
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("statics",))
+def _refine_stage_jit(statics: PipelineStatics, pose, cand: _Candidates,
+                      valid):
+    refined = post_refinement(
+        pose, cand.ss, cand.tt, cand.valid, statics.dist_th,
+        num_iters=statics.irls_iters,
+    )
+    return jnp.where(valid, refined, jnp.eye(4, dtype=pose.dtype))
+
+
+def _fence(x):
+    """Synchronize on a (small) device value: scalar-sized host fetch —
+    works over the axon tunnel, where ``block_until_ready`` is a no-op."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf)
+
+
+def register_pair_timed(
+    params: Any,
+    statics: PipelineStatics,
+    src: Cloud,
+    tgt: Cloud,
+    is_aligned: jnp.ndarray,
+    key: jax.Array,
+):
+    """Per-phase fenced registration: the TPU counterpart of the reference's
+    ``enable_timing`` decomposition (``models/BUFFERX.py:297,314-316,
+    369-374,419-421`` — CUDA-event ranges threaded through forward).
+
+    Runs the pipeline as three separately jitted, host-fenced programs and
+    returns ``(result, phases)`` where ``phases`` has seconds for:
+
+    - ``desc_time``: FPS + radii + patch extraction + descriptor net +
+      mutual matching + SO(2) head (candidate generation, all scales)
+    - ``pose_time``: cross-scale consensus + pose solver (RANSAC/GNC)
+    - ``pose_optim_time``: IRLS post-refinement (0.0 when disabled)
+
+    The result equals the untimed full multi-scale program's (early exit is
+    a serving-latency feature, not part of the reference timing protocol).
+    Fencing costs ~2 extra host syncs per pair, so the phase sum slightly
+    exceeds the single-program latency — use the untimed path for
+    throughput numbers.
+    """
+    import time
+
+    scales = tuple(range(statics.num_scales))
+    t0 = time.perf_counter()
+    cand, solve_key = _candidates_stage_jit(
+        params, statics, src, tgt, is_aligned, key, scales
+    )
+    _fence(cand.d2)
+    t1 = time.perf_counter()
+    res = _solve_stage_jit(statics, cand, solve_key, src, tgt, len(scales))
+    _fence(res.pose)
+    t2 = time.perf_counter()
+    if statics.pose_refine:
+        pose = _refine_stage_jit(statics, res.pose, cand, res.valid)
+        _fence(pose)
+        res = res._replace(pose=pose)
+    t3 = time.perf_counter()
+    phases = {
+        "desc_time": t1 - t0,
+        "pose_time": t2 - t1,
+        "pose_optim_time": (t3 - t2) if statics.pose_refine else 0.0,
+    }
+    return res, phases
 
 
 def register_pair_early_exit(

@@ -59,6 +59,9 @@ def parse_args():
     ap.add_argument("--fast", action="store_true",
                     help="shrunken capacities for smoke runs (esp. --cpu)")
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--enable-timing", action="store_true",
+                    help="per-phase desc/pose/pose-optim timing in the CSV "
+                         "(separately fenced stage programs)")
     ap.add_argument("--profile-dir", default=None,
                     help="write a device trace of one steady-state pair")
     ap.add_argument("--progress", action="store_true",
@@ -172,6 +175,7 @@ def main():
         log=print,
         profile_dir=args.profile_dir,
         progress=args.progress,
+        enable_timing=args.enable_timing,
     )
     rows = summary.pop("rows")
 

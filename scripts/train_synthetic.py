@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--num-points", type=int, default=4000)
     ap.add_argument("--desc-mode", default="sampled",
                     choices=["sampled", "moments"])
+    ap.add_argument("--hard", action="store_true",
+                    help="hetero-robust stream: hard_training_stream "
+                         "(randomized overlap/noise/density/clutter on the "
+                         "TRAIN scene family; the eval family stays held "
+                         "out for scripts/exp_hard.py)")
     args = ap.parse_args()
 
     import jax
@@ -56,11 +61,21 @@ def main():
 
     print(f"generating {args.pool} resident batches...", flush=True)
     t0 = time.time()
-    pool = list(
-        synthetic_training_stream(
-            cfg, args.pool, seed=7, num_points=args.num_points, overlap=0.8
+    if args.hard:
+        from bufferx_tpu.data.hardsynth import hard_training_stream
+
+        pool = list(
+            hard_training_stream(
+                cfg, args.pool, seed=7, num_points=args.num_points
+            )
         )
-    )
+    else:
+        pool = list(
+            synthetic_training_stream(
+                cfg, args.pool, seed=7, num_points=args.num_points,
+                overlap=0.8,
+            )
+        )
     batch_pool = jax.tree.map(lambda *x: jnp.stack(x), *pool)
     jax.block_until_ready(batch_pool)
     print(f"pool ready in {time.time() - t0:.0f}s", flush=True)

@@ -77,6 +77,36 @@ class TestShardedEval:
         # single tiny scale + untrained weights: most, not necessarily all
         assert (rte < 0.3).mean() >= 0.5
 
+    def test_ragged_tail_padded_and_sliced(self):
+        # B=5 over an 8-device mesh: padded internally, result sliced to 5,
+        # and per-pair results match the divisible-batch run bit-for-bit
+        cfg = tiny_cfg()
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        statics = PipelineStatics.from_config(cfg)
+        mesh = make_mesh()
+        eval_fn = make_sharded_eval(params, statics, mesh)
+
+        srcs, tgts = [], []
+        for i in range(8):
+            rs = np.random.RandomState(i)
+            s, t, _ = synthetic_pair_full_overlap(rs, num_points=1200)
+            srcs.append(prepare_cloud(s, cfg, seed=i))
+            tgts.append(prepare_cloud(t, cfg, seed=i))
+        src_b = jax.tree.map(lambda *x: jnp.stack(x), *srcs)
+        tgt_b = jax.tree.map(lambda *x: jnp.stack(x), *tgts)
+        keys = jax.random.split(jax.random.PRNGKey(0), 8)
+
+        full = eval_fn(src_b, tgt_b, jnp.zeros(8, bool), keys)
+        ragged = eval_fn(
+            jax.tree.map(lambda x: x[:5], src_b),
+            jax.tree.map(lambda x: x[:5], tgt_b),
+            jnp.zeros(5, bool), keys[:5],
+        )
+        assert ragged.pose.shape == (5, 4, 4)
+        np.testing.assert_allclose(
+            np.asarray(ragged.pose), np.asarray(full.pose)[:5], atol=1e-5
+        )
+
     def test_matches_unsharded(self):
         cfg = tiny_cfg()
         params = init_params(cfg, jax.random.PRNGKey(0))

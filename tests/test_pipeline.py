@@ -136,6 +136,52 @@ class TestRegisterPair:
         rte = float(se3.compute_rte(res.pose, jnp.asarray(T_gt)))
         assert rte < cfg.test.rte_thresh
 
+    def test_timed_path_matches_untimed(self, cfg_params):
+        from bufferx_tpu.pipeline.registration import register_pair_timed
+
+        cfg, params = cfg_params
+        statics = PipelineStatics.from_config(cfg)
+        rs = np.random.RandomState(6)
+        src_pts, tgt_pts, _ = synthetic_pair_full_overlap(rs, num_points=2500)
+        src = prepare_cloud(src_pts, cfg, seed=7)
+        tgt = prepare_cloud(tgt_pts, cfg, seed=7)
+        key = jax.random.PRNGKey(5)
+        ref = register_pair_jit(
+            params, statics, src, tgt, jnp.asarray(False), key
+        )
+        res, phases = register_pair_timed(
+            params, statics, src, tgt, jnp.asarray(False), key
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.pose), np.asarray(ref.pose), atol=1e-5
+        )
+        assert int(res.num_inliers) == int(ref.num_inliers)
+        assert phases["desc_time"] > 0 and phases["pose_time"] > 0
+        if not statics.pose_refine:
+            assert phases["pose_optim_time"] == 0.0
+
+    def test_timed_path_refine_branch(self, cfg_params):
+        from bufferx_tpu.pipeline.registration import register_pair_timed
+
+        cfg, params = cfg_params
+        cfg_r = cfg.override(test=dict(pose_refine=True))
+        statics = PipelineStatics.from_config(cfg_r)
+        rs = np.random.RandomState(8)
+        src_pts, tgt_pts, T_gt = synthetic_pair_full_overlap(rs, num_points=2500)
+        src = prepare_cloud(src_pts, cfg_r, seed=9)
+        tgt = prepare_cloud(tgt_pts, cfg_r, seed=9)
+        key = jax.random.PRNGKey(3)
+        ref = register_pair_jit(
+            params, statics, src, tgt, jnp.asarray(False), key
+        )
+        res, phases = register_pair_timed(
+            params, statics, src, tgt, jnp.asarray(False), key
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.pose), np.asarray(ref.pose), atol=1e-5
+        )
+        assert phases["pose_optim_time"] > 0
+
     def test_outdoor_global_z_path(self, cfg_params):
         # outdoor branch: is_aligned_to_global_z=True skips the LRF (R=I);
         # a planar LiDAR-like scene under a pure yaw+translation must register
