@@ -223,15 +223,29 @@ class ETHDataset(_FragmentDataset):
 
 
 class ScannetppIphoneDataset(_FragmentDataset):
-    """ScanNet++ iPhone TSDF fragments (``dataset/scannetpp_iphone.py``)."""
+    """ScanNet++ iPhone TSDF fragments (``dataset/scannetpp_iphone.py``).
+
+    Supports both the reference layout —
+    ``<root>/<scene>/iphone/gt.log`` + ``iphone/tsdf/cloud_bin_N.ply``
+    (what :func:`bufferx_tpu.tools.scannetpp.prepare_scene` produces) —
+    and a flat ``<root>/<scene>/{gt.log,cloud_bin_N.ply}``."""
 
     def __init__(self, cfg: Config, split: str = "test"):
         super().__init__(cfg, split)
-        _require(cfg.data.root, "scannetpp_iphone/<scene>/{gt.log,*.ply}")
+        _require(
+            cfg.data.root,
+            "scannetpp_iphone/<scene>/{iphone/{gt.log,tsdf/*.ply}|"
+            "gt.log,*.ply}",
+        )
         for scene in sorted(os.listdir(cfg.data.root)):
-            gtpath = join(cfg.data.root, scene)
-            if os.path.exists(join(gtpath, "gt.log")):
-                self._add_scene(gtpath, gtpath, "cloud_bin_{}.ply")
+            base = join(cfg.data.root, scene)
+            if os.path.exists(join(base, "iphone", "gt.log")):
+                self._add_scene(
+                    join(base, "iphone"), join(base, "iphone", "tsdf"),
+                    "cloud_bin_{}.ply",
+                )
+            elif os.path.exists(join(base, "gt.log")):
+                self._add_scene(base, base, "cloud_bin_{}.ply")
 
 
 class ScannetppFaroDataset(ScannetppIphoneDataset):
