@@ -218,12 +218,14 @@ def evaluate_pairs_batched(
         chunk = [samples[min(b * batch_size + j, n - 1)] for j in range(batch_size)]
         src_b = jax.tree.map(
             lambda *x: jnp.stack(x),
-            *[prepare_cloud(s["src_points"], cfg, seed=b * batch_size + j)
+            *[prepare_cloud(s["src_points"], cfg,
+                            seed=2 * (b * batch_size + j))
               for j, s in enumerate(chunk)],
         )
         tgt_b = jax.tree.map(
             lambda *x: jnp.stack(x),
-            *[prepare_cloud(s["tgt_points"], cfg, seed=b * batch_size + j + 1)
+            *[prepare_cloud(s["tgt_points"], cfg,
+                            seed=2 * (b * batch_size + j) + 1)
               for j, s in enumerate(chunk)],
         )
         aligned = jnp.asarray(
