@@ -42,6 +42,11 @@ class DataConfig:
     manual_seed: int = 123
     # outdoor LiDAR pair-walking distance, where applicable
     pdist: float = 10.0
+    # density-based clutter prefilter (kernels/density.py): removes
+    # volumetric outlier points before FPS keypointing. Enabled for the
+    # indoor (fused-scan) presets; off for outdoor LiDAR, whose genuine
+    # long-range sparsity the density test could clip.
+    clutter_filter: bool = False
 
 
 @dataclass(frozen=True)
@@ -179,7 +184,7 @@ class Config:
 
 def indoor_base() -> Config:
     """Indoor profile: RGB-D fragment scale (reference ``IndoorBaseConfig``)."""
-    return Config()
+    return Config(data=DataConfig(clutter_filter=True))
 
 
 def outdoor_base() -> Config:

@@ -110,6 +110,7 @@ class PipelineStatics:
     use_bf16: bool = True   # conv stacks in bfloat16 at inference (MXU 2x)
     desc_mode: str = "sampled"   # cell pooling: "sampled" | "moments"
     exact_topk: bool = False     # exact ball-query slot selection
+    clutter_filter: bool = False  # density prefilter (kernels/density.py)
 
     @classmethod
     def from_config(cls, cfg: Config) -> "PipelineStatics":
@@ -142,6 +143,7 @@ class PipelineStatics:
             kiss_resolution=cfg.match.kiss_resolution,
             desc_mode=cfg.patch.desc_mode,
             exact_topk=cfg.patch.exact_topk,
+            clutter_filter=cfg.data.clutter_filter,
         )
 
 
@@ -303,6 +305,14 @@ class _Candidates(NamedTuple):
 
 
 def _precompute(statics: PipelineStatics, src: Cloud, tgt: Cloud) -> _Shared:
+    # density prefilter: drop volumetric clutter BEFORE FPS (FPS greedily
+    # selects isolated points, so unfiltered clutter captures the keypoint
+    # budget — kernels/density.py documents the calibration)
+    if statics.clutter_filter:
+        from bufferx_tpu.kernels.density import density_inlier_mask
+
+        src = Cloud(src.xyz, density_inlier_mask(src.xyz, src.mask))
+        tgt = Cloud(tgt.xyz, density_inlier_mask(tgt.xyz, tgt.mask))
     # one FPS per cloud serves probes (radius estimation) and keypoints;
     # both clouds go through one vmapped call so the Pallas kernel
     # interleaves their (independent) sequential chains in one program

@@ -232,3 +232,58 @@ class TestRadius:
             jnp.asarray(pts[:100]), jnp.ones(100, bool), thresholds=(5.0,),
         )
         np.testing.assert_allclose(np.asarray(r_masked), np.asarray(r_clean), atol=0.011)
+
+
+class TestDensityFilter:
+    """kernels/density.py — volumetric clutter prefilter."""
+
+    def _surface(self, rng, n=4000):
+        # bumpy plane patch ~[0,1]^2: a 2D manifold in 3D
+        uv = rng.rand(n, 2).astype(np.float32)
+        z = 0.1 * np.sin(6 * uv[:, 0]) * np.cos(5 * uv[:, 1])
+        return np.column_stack([uv, z]).astype(np.float32)
+
+    def test_removes_volumetric_clutter(self, rng):
+        from bufferx_tpu.kernels.density import density_inlier_mask
+
+        surf = self._surface(rng)
+        n_out = 400
+        out = rng.uniform(-0.2, 1.2, (n_out, 3)).astype(np.float32)
+        out[:, 2] = rng.uniform(0.3, 1.0, n_out)  # clearly off-surface
+        pts = np.concatenate([surf, out])
+        perm = rng.permutation(len(pts))
+        is_out = np.zeros(len(pts), bool)
+        is_out[len(surf):] = True
+        keep = np.asarray(density_inlier_mask(
+            jnp.asarray(pts[perm]), jnp.ones(len(pts), bool)
+        ))
+        removed = ~keep
+        io = is_out[perm]
+        assert (removed & io).sum() / n_out > 0.7          # catches clutter
+        assert (removed & ~io).sum() / len(surf) < 0.05    # keeps surface
+
+    def test_clean_cloud_mostly_kept(self, rng):
+        from bufferx_tpu.kernels.density import density_inlier_mask
+
+        surf = self._surface(rng)
+        keep = np.asarray(density_inlier_mask(
+            jnp.asarray(surf), jnp.ones(len(surf), bool)
+        ))
+        assert keep.mean() > 0.95
+
+    def test_respects_input_mask_and_guard(self, rng):
+        from bufferx_tpu.kernels.density import density_inlier_mask
+
+        surf = self._surface(rng, n=1000)
+        pad = np.zeros((200, 3), np.float32)
+        pts = np.concatenate([surf, pad])
+        mask = np.concatenate([np.ones(1000, bool), np.zeros(200, bool)])
+        keep = np.asarray(density_inlier_mask(jnp.asarray(pts), jnp.asarray(mask)))
+        assert not keep[1000:].any()                       # padding stays invalid
+        # degenerate guard: uniform volumetric cloud (no manifold) — the
+        # filter must not drop more than half
+        vol = rng.uniform(0, 1, (1000, 3)).astype(np.float32)
+        keep2 = np.asarray(density_inlier_mask(
+            jnp.asarray(vol), jnp.ones(1000, bool)
+        ))
+        assert keep2.mean() >= 0.5
