@@ -123,6 +123,11 @@ class PatchConfig:
     # exact. The hard-benchmark gate (scripts/exp_hard.py) quantifies the
     # quality delta between the two.
     exact_topk: bool = False
+    # two-level block ball query (kernels/neighbors.py:ball_query_blocks):
+    # packed block-row gather + exact in-candidate selection — cheaper on
+    # TPU than the flat per-point gather and captures ALL in-radius points
+    # of sparse patches (supersedes exact_topk's quality edge when on).
+    block_ball_query: bool = True
 
 
 @dataclass(frozen=True)

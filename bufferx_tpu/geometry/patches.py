@@ -15,12 +15,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from bufferx_tpu.kernels.neighbors import ball_query
+from bufferx_tpu.kernels.neighbors import ball_query, ball_query_blocks
 
 __all__ = ["select_patches"]
 
 
-@functools.partial(jax.jit, static_argnames=("patch_sample", "use_approx"))
+@functools.partial(
+    jax.jit, static_argnames=("patch_sample", "use_approx", "use_blocks")
+)
 def select_patches(
     pts: jnp.ndarray,
     pts_mask: jnp.ndarray,
@@ -30,11 +32,29 @@ def select_patches(
     patch_sample: int,
     use_approx: bool = True,
     d2: jnp.ndarray | None = None,
+    use_blocks: bool = False,
 ):
     """Returns (patches [K, P, 3] absolute coords, patch_mask [K, P]).
 
     ``d2``: optional precomputed [K, N] squared keypoint-to-cloud distances
-    (shared across scales by the pipeline)."""
+    (shared across scales by the pipeline). ``use_blocks`` selects the
+    two-level block ball query (:func:`ball_query_blocks` — one packed
+    block-row gather instead of a per-point row gather, ~2x cheaper on
+    TPU, and exact sparse-patch capture); it requires ``d2`` and falls
+    back to the flat path when the cloud is too small for the block
+    geometry."""
+    n = pts.shape[0]
+    block, cand_blocks = 8, 256
+    if (
+        use_blocks
+        and d2 is not None
+        and n % block == 0
+        and min(cand_blocks, n // block) * block >= patch_sample
+    ):
+        return ball_query_blocks(
+            pts, pts_mask, kpts, radius, key, patch_sample, d2,
+            block=block, cand_blocks=min(cand_blocks, n // block),
+        )
     idx, valid = ball_query(
         pts, pts_mask, kpts, radius, key, patch_sample,
         use_approx=use_approx, d2=d2,

@@ -33,6 +33,7 @@ __all__ = [
     "nearest_neighbor",
     "mutual_nearest",
     "ball_query",
+    "ball_query_blocks",
 ]
 
 _BIG = jnp.float32(1e30)
@@ -164,3 +165,99 @@ def ball_query(
     valid = vals > -jnp.inf
     idx = jnp.where(valid, idx, 0)
     return idx, valid
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nsample", "block", "cand_blocks")
+)
+def ball_query_blocks(
+    pts: jnp.ndarray,
+    pts_mask: jnp.ndarray,
+    centers: jnp.ndarray,
+    radius: jnp.ndarray,
+    key: jax.Array,
+    nsample: int,
+    d2: jnp.ndarray,
+    block: int = 8,
+    cand_blocks: int = 256,
+):
+    """Two-level ball query returning patch COORDS (gather-lean).
+
+    Same contract as :func:`ball_query` + an immediate coordinate gather,
+    but restructured for the TPU's gather lowering, whose cost is dominated
+    by the number of gathered rows (measured ~11-17 ns/row regardless of
+    row width: a [K, nsample] row gather from [N, 3] costs ~65 ms/pair at
+    production shapes — the single largest stage in the pipeline).
+
+    1. The cloud is viewed as ``N/block`` packed blocks of ``block``
+       consecutive points (points arrive pre-shuffled, so a block is a
+       uniform random sample). Per center, blocks are ranked by their
+       IN-RADIUS MEMBER COUNT (fractional random tie-break) and the top
+       ``cand_blocks`` become the candidate pool — one [K, cand_blocks]
+       row gather of packed [block*3+block]-lane rows, ``nsample/2``x
+       fewer rows than the point-level gather.
+    2. Candidate points are re-tested against the radius directly (the
+       packed rows carry coords + validity) and ``nsample`` of the
+       in-radius candidates are selected by fresh random cyclic priorities
+       (exact top-k at candidate width — narrow enough that exactness
+       costs nothing vs ``approx_max_k`` at cloud width).
+
+    Distribution: block membership is independent of geometry (shuffle
+    blocks), so count-ranked block selection perturbs per-POINT inclusion
+    probabilities only through a geometry-free random variable — the
+    selected subset stays spatially uniform over the in-radius set.
+    Capture: centers with <= cand_blocks occupied blocks keep ALL their
+    in-radius points as candidates (sparse patches lose nothing, unlike
+    ``approx_max_k`` at recall 0.5); dense centers get >= cand_blocks
+    candidates. Returns (patches [K, nsample, 3], valid [K, nsample]);
+    invalid slots carry the center's own coordinates (the zero-offset
+    convention of ``select_patches``).
+    """
+    kq = centers.shape[0]
+    n = pts.shape[0]
+    nb = n // block
+    r2 = radius * radius
+
+    # ---- level 1: block ranking by in-radius member count ---------------
+    d2b = d2[:, : nb * block].reshape(kq, nb, block)
+    hits = (d2b <= r2).astype(jnp.float32)            # masked d2 is BIG
+    cnt = jnp.sum(hits, axis=-1)                      # [K, NB]
+    k1, k2 = jax.random.split(key)
+    off = jax.random.randint(k1, (kq, 1), 0, nb)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (kq, nb), 1)
+    shifted = pos - off
+    shifted = jnp.where(shifted < 0, shifted + nb, shifted)
+    frac = 1.0 - shifted.astype(jnp.float32) / jnp.float32(nb)  # (0, 1]
+    bscore = jnp.where(cnt > 0.0, cnt + frac, -jnp.inf)
+    _, bidx = jax.lax.top_k(bscore, cand_blocks)      # [K, CB]
+
+    # ---- the one gather: packed coord+valid block rows -------------------
+    packed = jnp.concatenate(
+        [
+            pts[: nb * block].reshape(nb, block * 3),
+            pts_mask[: nb * block].reshape(nb, block).astype(pts.dtype),
+        ],
+        axis=1,
+    )                                                  # [NB, 4*block]
+    rows = packed[bidx]                                # [K, CB, 4*block]
+    cand = rows[..., : block * 3].reshape(kq, cand_blocks * block, 3)
+    cmask = rows[..., block * 3 :].reshape(kq, cand_blocks * block) > 0.5
+
+    # ---- level 2: exact random selection among candidates ---------------
+    cd2 = jnp.sum(
+        (cand - centers[:, None, :]) ** 2, axis=-1
+    )                                                  # [K, CB*block]
+    in_r = (cd2 <= r2) & cmask
+    nc = cand_blocks * block
+    off2 = jax.random.randint(k2, (kq, 1), 0, nc)
+    pos2 = jax.lax.broadcasted_iota(jnp.int32, (kq, nc), 1)
+    sh2 = pos2 - off2
+    sh2 = jnp.where(sh2 < 0, sh2 + nc, sh2)
+    prio2 = -sh2.astype(jnp.float32)
+    scores2 = jnp.where(in_r, prio2, -jnp.inf)
+    vals, sel = _random_topk(scores2, nsample, use_approx=False)
+    valid = vals > -jnp.inf
+    sel = jnp.where(valid, sel, 0)
+    patches = jnp.take_along_axis(cand, sel[..., None], axis=1)
+    patches = jnp.where(valid[..., None], patches, centers[:, None, :])
+    return patches, valid

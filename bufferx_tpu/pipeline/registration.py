@@ -111,6 +111,7 @@ class PipelineStatics:
     desc_mode: str = "sampled"   # cell pooling: "sampled" | "moments"
     exact_topk: bool = False     # exact ball-query slot selection
     clutter_filter: bool = False  # density prefilter (kernels/density.py)
+    block_ball_query: bool = True  # two-level block ball query
 
     @classmethod
     def from_config(cls, cfg: Config) -> "PipelineStatics":
@@ -144,6 +145,7 @@ class PipelineStatics:
             desc_mode=cfg.patch.desc_mode,
             exact_topk=cfg.patch.exact_topk,
             clutter_filter=cfg.data.clutter_filter,
+            block_ball_query=cfg.patch.block_ball_query,
         )
 
 
@@ -236,10 +238,12 @@ def _embed_two(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
     sp, sm = select_patches(
         src.xyz, src.mask, src_kpts, des_r, ks1, statics.patch_sample,
         use_approx=not statics.exact_topk, d2=d2_src,
+        use_blocks=statics.block_ball_query,
     )
     tp, tm = select_patches(
         tgt.xyz, tgt.mask, tgt_kpts, des_r, ks2, statics.patch_sample,
         use_approx=not statics.exact_topk, d2=d2_tgt,
+        use_blocks=statics.block_ball_query,
     )
     patches = jnp.concatenate([sp, tp])
     pmask = jnp.concatenate([sm, tm])

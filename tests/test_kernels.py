@@ -287,3 +287,74 @@ class TestDensityFilter:
             jnp.asarray(vol), jnp.ones(1000, bool)
         ))
         assert keep2.mean() >= 0.5
+
+
+class TestBallQueryBlocks:
+    """kernels/neighbors.py:ball_query_blocks — two-level ball query."""
+
+    def _setup(self, rng, n=4096, k=32, r=0.3):
+        pts = rng.rand(n, 3).astype(np.float32) * 2 - 1
+        mask = np.ones(n, bool)
+        kpts = pts[rng.choice(n, k, replace=False)]
+        d2 = np.asarray(neighbors.masked_sqdist(
+            jnp.asarray(kpts), jnp.asarray(pts),
+            jnp.ones(k, bool), jnp.asarray(mask)))
+        return pts, mask, kpts, d2
+
+    def test_all_returned_points_in_radius(self, rng):
+        pts, mask, kpts, d2 = self._setup(rng)
+        r = 0.3
+        patches, valid = neighbors.ball_query_blocks(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(kpts),
+            jnp.float32(r), jax.random.PRNGKey(0), 128, jnp.asarray(d2))
+        patches, valid = np.asarray(patches), np.asarray(valid)
+        d = np.linalg.norm(patches - kpts[:, None], axis=-1)
+        assert np.all(d[valid] <= r + 1e-6)
+        # invalid slots carry the keypoint itself (zero offset)
+        np.testing.assert_allclose(
+            patches[~valid],
+            np.broadcast_to(kpts[:, None], patches.shape)[~valid], atol=0)
+
+    def test_sparse_patches_fully_captured(self, rng):
+        # radius so small that every keypoint has < nsample in-ball points:
+        # the block path must return EVERY in-radius point (the flat
+        # approx_max_k at recall 0.5 drops ~half of them)
+        pts, mask, kpts, d2 = self._setup(rng, r=0.08)
+        r = 0.08
+        patches, valid = neighbors.ball_query_blocks(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(kpts),
+            jnp.float32(r), jax.random.PRNGKey(1), 128, jnp.asarray(d2))
+        counts_true = (d2 <= r * r).sum(1)
+        assert np.all(counts_true < 128)
+        np.testing.assert_array_equal(np.asarray(valid).sum(1), counts_true)
+
+    def test_dense_patches_fill_and_uniformity(self, rng):
+        pts, mask, kpts, d2 = self._setup(rng, n=8192, k=8, r=0.8)
+        r = 0.8
+        nsample = 64
+        patches, valid = neighbors.ball_query_blocks(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(kpts),
+            jnp.float32(r), jax.random.PRNGKey(2), nsample, jnp.asarray(d2))
+        patches, valid = np.asarray(patches), np.asarray(valid)
+        assert np.all(valid.sum(1) == nsample)
+        # spatial uniformity: selected centroid tracks the in-ball centroid
+        for i in range(len(kpts)):
+            inball = pts[d2[i] <= r * r]
+            sel = patches[i][valid[i]]
+            tol = 3.0 * inball.std(0).max() / np.sqrt(nsample)
+            np.testing.assert_allclose(sel.mean(0), inball.mean(0), atol=tol)
+
+    def test_masked_points_never_selected(self, rng):
+        pts, mask, kpts, _ = self._setup(rng)
+        mask[::2] = False
+        d2 = np.asarray(neighbors.masked_sqdist(
+            jnp.asarray(kpts), jnp.asarray(pts),
+            jnp.ones(len(kpts), bool), jnp.asarray(mask)))
+        patches, valid = neighbors.ball_query_blocks(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(kpts),
+            jnp.float32(0.5), jax.random.PRNGKey(3), 64, jnp.asarray(d2))
+        patches, valid = np.asarray(patches), np.asarray(valid)
+        allowed = {tuple(p) for p in pts[mask]}
+        for i in range(len(kpts)):
+            for p in patches[i][valid[i]]:
+                assert tuple(p) in allowed
