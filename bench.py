@@ -57,10 +57,18 @@ def main() -> int:
     # production-scale config (reference benchmark shapes). The moments
     # descriptor mode is the serving default: measured equal-or-better
     # partial-overlap quality than the reference-semantics sampled mode
-    # (scripts/exp_quality.py) and a cheaper SPT kernel.
+    # (scripts/exp_quality.py) and a cheaper SPT kernel. The serving
+    # checkpoint is the HARD-stream one — the same weights the quality gate
+    # (scripts/exp_hard.py) scores, so the headline number and the gate
+    # describe one configuration.
     here = os.path.dirname(os.path.abspath(__file__))
-    ckpt = os.path.join(here, "snapshot", "synthetic_moments")
-    if os.path.isdir(ckpt):
+    ckpt = ""
+    for name in ("hard_moments", "synthetic_moments"):
+        cand = os.path.join(here, "snapshot", name)
+        if os.path.isdir(cand):
+            ckpt = cand
+            break
+    if ckpt:
         cfg = make_cfg("ModelNet40").override(patch=dict(desc_mode="moments"))
     else:
         cfg = make_cfg("ModelNet40")

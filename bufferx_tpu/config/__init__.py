@@ -60,6 +60,12 @@ class TrainConfig:
     augmentation_noise: float = 0.001
     pretrain_model: str = ""
     all_stage: Tuple[str, ...] = ("Desc", "Pose")
+    # cloud-level rotation augmentation applied to each training pair
+    # (GT pose conjugated accordingly): "so3" = independent full random
+    # rotations per cloud (reference 3DMatch, dataset/threedmatch.py:104-107),
+    # "so2" = random rotations about +z (reference KITTI,
+    # dataset/kitti.py:142-148), "none" = off.
+    rotation_augment: str = "so3"
 
 
 @dataclass(frozen=True)
@@ -128,6 +134,12 @@ class PatchConfig:
     # TPU than the flat per-point gather and captures ALL in-radius points
     # of sparse patches (supersedes exact_topk's quality edge when on).
     block_ball_query: bool = True
+    # block geometry: points per block / candidate blocks per center. The
+    # gather cost scales with bq_cand_blocks (rows gathered per center)
+    # and the level-1 top_k with both knobs; bq_block * bq_cand_blocks is
+    # the candidate-pool width (must be >= num_points_per_patch).
+    bq_block: int = 16
+    bq_cand_blocks: int = 128
 
 
 @dataclass(frozen=True)
@@ -196,7 +208,9 @@ def outdoor_base() -> Config:
     """Outdoor profile: LiDAR scale (reference ``OutdoorBaseConfig``)."""
     return Config(
         data=DataConfig(downsample=0.05, voxel_size_0=0.30),
-        train=TrainConfig(epoch=50, augmentation_noise=0.01),
+        train=TrainConfig(
+            epoch=50, augmentation_noise=0.01, rotation_augment="so2"
+        ),
         test=TestConfig(rte_thresh=2.0, rre_thresh=5.0),
         optim=OptimConfig(scheduler_interval_desc=10, scheduler_interval_pose=5),
         patch=PatchConfig(des_r=3.0, is_aligned_to_global_z=True),

@@ -363,11 +363,20 @@ def hard_training_stream(
     seed: int = 0,
     num_points: int = 6000,
     family: str = "train",
+    overlap_range: Tuple[float, float] = (0.25, 0.9),
+    noise_range: Tuple[float, float] = (0.0, 1.0),
+    density_choices: Tuple[float, ...] = (1.0, 1.0, 2.0, 4.0, 8.0),
+    clutter_choices: Tuple[float, ...] = (0.0, 0.0, 0.05, 0.1),
 ):
     """Hetero-robust training stream: pairs from the TRAIN family with
     randomized overlap / noise / density-mismatch / clutter augmentation
     (the knobs of :func:`hard_pair`), assembled into fixed-shape batches.
-    The eval family stays held out for the quality gate."""
+    The eval family stays held out for the quality gate.
+
+    The range/choice parameters expose the curriculum axes: a training
+    schedule can start with easy distributions and regenerate the stream
+    with progressively harder ones (lower overlap, higher noise/density
+    mismatch/clutter) — ``scripts/train_synthetic.py --curriculum``."""
     import jax
 
     from bufferx_tpu.data.training import build_training_batch
@@ -380,10 +389,10 @@ def hard_training_stream(
             rs,
             family=family,
             num_points=num_points,
-            overlap_ratio=rs.uniform(0.25, 0.9),
-            noise=rs.uniform(0.0, 1.0) * voxel,
-            density_ratio=float(rs.choice([1.0, 1.0, 2.0, 4.0, 8.0])),
-            outlier_frac=float(rs.choice([0.0, 0.0, 0.05, 0.1])),
+            overlap_ratio=rs.uniform(*overlap_range),
+            noise=rs.uniform(*noise_range) * voxel,
+            density_ratio=float(rs.choice(list(density_choices))),
+            outlier_frac=float(rs.choice(list(clutter_choices))),
             extent=1.5 if family == "train" else 3.0,
         )
         key, sub = jax.random.split(key)

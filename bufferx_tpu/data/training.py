@@ -20,7 +20,12 @@ from bufferx_tpu.data.modelnet import synthetic_pair
 from bufferx_tpu.kernels.voxel import voxel_downsample_np
 from bufferx_tpu.train.forward import sample_gt_correspondences
 
-__all__ = ["build_training_batch", "synthetic_training_stream", "random_des_r"]
+__all__ = [
+    "build_training_batch",
+    "synthetic_training_stream",
+    "random_des_r",
+    "rotate_pair",
+]
 
 
 def _pad(xyz: np.ndarray, cap: int, rs: np.random.RandomState):
@@ -36,20 +41,78 @@ def _pad(xyz: np.ndarray, cap: int, rs: np.random.RandomState):
     return out, mask
 
 
+def _random_rotation(rs: np.random.RandomState, mode: str) -> np.ndarray:
+    """Uniform random rotation matrix: full SO(3) or about +z (SO(2))."""
+    if mode == "so2":
+        th = rs.uniform(0.0, 2.0 * np.pi)
+        c, s = np.cos(th), np.sin(th)
+        return np.array(
+            [[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], np.float32
+        )
+    # uniform SO(3) via a random unit quaternion
+    q = rs.randn(4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float32,
+    )
+
+
+def rotate_pair(
+    src_pts: np.ndarray,
+    tgt_pts: np.ndarray,
+    gt_pose: np.ndarray,
+    rs: np.random.RandomState,
+    mode: str,
+):
+    """Cloud-level rotation augmentation with GT conjugation.
+
+    Independent random rotations Rs/Rt applied to each cloud (the
+    reference rotates both training halves: SO(3) for 3DMatch at
+    ``dataset/threedmatch.py:104-107``, SO(2)-about-z for KITTI at
+    ``dataset/kitti.py:142-148``). With src' = Rs·src and tgt' = Rt·tgt
+    the pose mapping src'->tgt' is T' = Tt · T · Ts^{-1}.
+    """
+    if mode == "none":
+        return src_pts, tgt_pts, np.asarray(gt_pose, np.float32)
+    Rs = _random_rotation(rs, mode)
+    Rt = _random_rotation(rs, mode)
+    T = np.asarray(gt_pose, np.float32)
+    R, t = T[:3, :3], T[:3, 3]
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = Rt @ R @ Rs.T
+    out[:3, 3] = Rt @ t
+    return (
+        (src_pts @ Rs.T).astype(np.float32),
+        (tgt_pts @ Rt.T).astype(np.float32),
+        out,
+    )
+
+
 def random_des_r(cfg: Config, rs: np.random.RandomState) -> float:
-    """Randomized training radius (reference per-dataset rules)."""
+    """Randomized training radius (reference per-dataset rules).
+
+    KITTI keeps the reference's discrete choice set
+    (``models/BUFFERX.py:175-198``); every other dataset uses the
+    3DMatch-style truncated gaussian over [0.5, 1.5]x the center radius —
+    at inference the density-aware estimator produces a *different* radius
+    per pair, so the descriptor must be trained under radius variation.
+    """
     center = cfg.patch.des_r
     name = cfg.data.dataset
-    if name == "3DMatch":
-        lo, hi = center * 0.5, center * 1.5
-        std = (hi - lo) / 6.0
-        return float(np.round(np.clip(rs.normal(center, std), lo, hi), 2))
     if name == "KITTI":
         if center == 3.0:
             return float(rs.choice([2.0, 2.5, 3.0, 3.5, 4.0]))
         if center == 0.3:
             return float(rs.choice([0.2, 0.25, 0.3, 0.35, 0.4]))
-    return float(center)
+    lo, hi = center * 0.5, center * 1.5
+    std = (hi - lo) / 6.0
+    return float(np.round(np.clip(rs.normal(center, std), lo, hi), 2))
 
 
 def build_training_batch(
@@ -68,6 +131,9 @@ def build_training_batch(
     cap = cfg.capacity.max_points
     noise = cfg.train.augmentation_noise
 
+    src_pts, tgt_pts, gt_pose = rotate_pair(
+        src_pts, tgt_pts, gt_pose, rs, cfg.train.rotation_augment
+    )
     src_fds = voxel_downsample_np(src_pts, cfg.data.downsample)
     tgt_fds = voxel_downsample_np(tgt_pts, cfg.data.downsample)
     src_fds = src_fds + rs.randn(*src_fds.shape).astype(np.float32) * noise

@@ -38,6 +38,20 @@ def _meters(names):
     return {n: AverageMeter() for n in names}
 
 
+def _timed_iter(it, timer: Timer):
+    """Iterate, timing each ``next()`` (= host data stall under prefetch)."""
+    it = iter(it)
+    while True:
+        timer.tic()
+        try:
+            item = next(it)
+        except StopIteration:
+            return
+        finally:
+            timer.toc()
+        yield item
+
+
 def evaluate_pairs(
     cfg: Config,
     pairs: Iterable[dict],
@@ -48,6 +62,7 @@ def evaluate_pairs(
     profile_dir: str | None = None,
     progress: bool = False,
     enable_timing: bool = False,
+    prefetch_workers: int = 2,
 ) -> dict:
     """Sequential per-pair evaluation with the reference timing protocol.
 
@@ -61,6 +76,15 @@ def evaluate_pairs(
     pose-optim columns carry real measured seconds (reference
     ``utils/result_io.py:21-25``) at the cost of two extra host syncs per
     pair; leave it off for headline throughput.
+
+    ``prefetch_workers`` > 0 runs loading (``pairs`` iteration — decode +
+    voxel downsample + sphericity for dataset sources) AND
+    ``prepare_cloud`` in background threads with a bounded window, so
+    host prep for pair i+k overlaps device compute for pair i (the
+    reference's DataLoader-worker overlap,
+    ``dataset/dataloader.py:162-170``). ``data_time`` then reports the
+    HOST STALL — time the device loop actually waited on data — rather
+    than the raw prep cost.
     """
     statics = PipelineStatics.from_config(cfg)
     meters = _meters(
@@ -72,22 +96,30 @@ def evaluate_pairs(
     rte_succ, rre_succ = AverageMeter(), AverageMeter()
     data_timer = Timer()
 
+    from bufferx_tpu.data.prefetch import prefetch_iter, prefetch_samples
     from bufferx_tpu.utils.progress import ProgressLine
 
     line = ProgressLine(cfg.data.dataset) if progress else None
 
+    def prepared_stream():
+        src_iter = prefetch_samples(pairs, num_workers=prefetch_workers)
+        for i, sample in enumerate(src_iter):
+            src = prepare_cloud(sample["src_points"], cfg, seed=2 * i)
+            tgt = prepare_cloud(sample["tgt_points"], cfg, seed=2 * i + 1)
+            aligned = jnp.asarray(bool(sample.get(
+                "is_aligned_to_global_z", cfg.patch.is_aligned_to_global_z
+            )))
+            yield i, sample, src, tgt, aligned
+
+    stream: Iterable = prepared_stream()
+    if prefetch_workers > 0:
+        stream = prefetch_iter(stream, depth=3)
+
     key = jax.random.PRNGKey(cfg.data.manual_seed)
-    for i, sample in enumerate(pairs):
+    for i, sample, src, tgt, aligned in _timed_iter(stream, data_timer):
         # device-trace exactly one steady-state pair when profiling
         if profile_dir is not None and i == WARMUP:
             jax.profiler.start_trace(profile_dir)
-        data_timer.tic()
-        src = prepare_cloud(sample["src_points"], cfg, seed=2 * i)
-        tgt = prepare_cloud(sample["tgt_points"], cfg, seed=2 * i + 1)
-        aligned = jnp.asarray(bool(sample.get(
-            "is_aligned_to_global_z", cfg.patch.is_aligned_to_global_z
-        )))
-        data_timer.toc()
 
         key, sub = jax.random.split(key)
         phases = {"desc_time": 0.0, "pose_time": 0.0, "pose_optim_time": 0.0}
@@ -193,11 +225,14 @@ def evaluate_pairs_batched(
     samples: Sequence[dict],
     params: Any,
     batch_size: int = 8,
+    prefetch_workers: int = 2,
 ) -> dict:
     """Throughput-oriented evaluation: vmap over fixed-size pair batches.
 
     Returns the summary dict plus ``pairs_per_second`` (excluding the first
-    batch, which pays compilation).
+    batch, which pays compilation). With ``prefetch_workers`` > 0, batch
+    assembly (per-sample load + ``prepare_cloud`` + stacking) for batch
+    b+1 happens in background threads while batch b runs on device.
     """
     statics = PipelineStatics.from_config(cfg)
 
@@ -213,9 +248,9 @@ def evaluate_pairs_batched(
     throughput_time = 0.0
     timed_pairs = 0
 
-    key = jax.random.PRNGKey(cfg.data.manual_seed)
-    for b in range(n_batches):
-        chunk = [samples[min(b * batch_size + j, n - 1)] for j in range(batch_size)]
+    def build_batch(b):
+        chunk = [samples[min(b * batch_size + j, n - 1)]
+                 for j in range(batch_size)]
         src_b = jax.tree.map(
             lambda *x: jnp.stack(x),
             *[prepare_cloud(s["src_points"], cfg,
@@ -232,6 +267,19 @@ def evaluate_pairs_batched(
             [bool(s.get("is_aligned_to_global_z",
                         cfg.patch.is_aligned_to_global_z)) for s in chunk]
         )
+        return chunk, src_b, tgt_b, aligned
+
+    from bufferx_tpu.data.prefetch import prefetch_indexed
+
+    if prefetch_workers > 0:
+        batch_stream = prefetch_indexed(
+            build_batch, n_batches, num_workers=prefetch_workers, depth=2
+        )
+    else:
+        batch_stream = (build_batch(b) for b in range(n_batches))
+
+    key = jax.random.PRNGKey(cfg.data.manual_seed)
+    for b, (chunk, src_b, tgt_b, aligned) in enumerate(batch_stream):
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, batch_size)
 

@@ -21,7 +21,10 @@ __all__ = ["select_patches"]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("patch_sample", "use_approx", "use_blocks")
+    jax.jit,
+    static_argnames=(
+        "patch_sample", "use_approx", "use_blocks", "block", "cand_blocks"
+    ),
 )
 def select_patches(
     pts: jnp.ndarray,
@@ -33,6 +36,8 @@ def select_patches(
     use_approx: bool = True,
     d2: jnp.ndarray | None = None,
     use_blocks: bool = False,
+    block: int = 16,
+    cand_blocks: int = 128,
 ):
     """Returns (patches [K, P, 3] absolute coords, patch_mask [K, P]).
 
@@ -42,9 +47,9 @@ def select_patches(
     block-row gather instead of a per-point row gather, ~2x cheaper on
     TPU, and exact sparse-patch capture); it requires ``d2`` and falls
     back to the flat path when the cloud is too small for the block
-    geometry."""
+    geometry. ``block``/``cand_blocks`` set the block geometry (gather
+    rows per center = ``cand_blocks``; candidate pool = the product)."""
     n = pts.shape[0]
-    block, cand_blocks = 8, 256
     if (
         use_blocks
         and d2 is not None

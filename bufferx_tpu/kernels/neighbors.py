@@ -219,8 +219,14 @@ def ball_query_blocks(
     r2 = radius * radius
 
     # ---- level 1: block ranking by in-radius member count ---------------
+    # Level 1 tests the matmul-expansion d2 while level 2 re-tests the
+    # direct squared distance; the two differ by ~1e-6 relative rounding.
+    # Widen the level-1 test by that margin so a borderline point can never
+    # hide its block from the candidate set — over-inclusion here only adds
+    # candidates, level 2 still decides membership exactly.
+    r2_l1 = r2 * (1.0 + 1e-5) + 1e-12
     d2b = d2[:, : nb * block].reshape(kq, nb, block)
-    hits = (d2b <= r2).astype(jnp.float32)            # masked d2 is BIG
+    hits = (d2b <= r2_l1).astype(jnp.float32)         # masked d2 is BIG
     cnt = jnp.sum(hits, axis=-1)                      # [K, NB]
     k1, k2 = jax.random.split(key)
     off = jax.random.randint(k1, (kq, 1), 0, nb)

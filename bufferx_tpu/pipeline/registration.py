@@ -112,6 +112,8 @@ class PipelineStatics:
     exact_topk: bool = False     # exact ball-query slot selection
     clutter_filter: bool = False  # density prefilter (kernels/density.py)
     block_ball_query: bool = True  # two-level block ball query
+    bq_block: int = 16             # points per block (block ball query)
+    bq_cand_blocks: int = 128      # candidate blocks per center
 
     @classmethod
     def from_config(cls, cfg: Config) -> "PipelineStatics":
@@ -146,6 +148,8 @@ class PipelineStatics:
             exact_topk=cfg.patch.exact_topk,
             clutter_filter=cfg.data.clutter_filter,
             block_ball_query=cfg.patch.block_ball_query,
+            bq_block=cfg.patch.bq_block,
+            bq_cand_blocks=cfg.patch.bq_cand_blocks,
         )
 
 
@@ -239,11 +243,13 @@ def _embed_two(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
         src.xyz, src.mask, src_kpts, des_r, ks1, statics.patch_sample,
         use_approx=not statics.exact_topk, d2=d2_src,
         use_blocks=statics.block_ball_query,
+        block=statics.bq_block, cand_blocks=statics.bq_cand_blocks,
     )
     tp, tm = select_patches(
         tgt.xyz, tgt.mask, tgt_kpts, des_r, ks2, statics.patch_sample,
         use_approx=not statics.exact_topk, d2=d2_tgt,
         use_blocks=statics.block_ball_query,
+        block=statics.bq_block, cand_blocks=statics.bq_cand_blocks,
     )
     patches = jnp.concatenate([sp, tp])
     pmask = jnp.concatenate([sm, tm])
@@ -286,7 +292,10 @@ def _solve(statics: PipelineStatics, ss, tt, pool, valid, key):
 
 class _Shared(NamedTuple):
     """Scale-independent precomputation: FPS keypoints, the dense
-    keypoint-to-cloud distance matrices, and the per-scale radii."""
+    keypoint-to-cloud distance matrices, the per-scale radii, and the
+    (possibly clutter-filtered) cloud validity masks — every downstream
+    stage must see the SAME point validity as FPS/d2 did, so the filtered
+    masks travel with the precomputation."""
 
     src_kpts: jnp.ndarray
     tgt_kpts: jnp.ndarray
@@ -295,6 +304,8 @@ class _Shared(NamedTuple):
     d2_src: jnp.ndarray
     d2_tgt: jnp.ndarray
     radii: jnp.ndarray
+    src_mask: jnp.ndarray
+    tgt_mask: jnp.ndarray
 
 
 class _Candidates(NamedTuple):
@@ -346,6 +357,7 @@ def _precompute(statics: PipelineStatics, src: Cloud, tgt: Cloud) -> _Shared:
         src_kpts=s_probe[:nf], tgt_kpts=t_probe[:nf],
         src_kpts_v=s_v[:nf], tgt_kpts_v=t_v[:nf],
         d2_src=d2_src, d2_tgt=d2_tgt, radii=radii,
+        src_mask=src.mask, tgt_mask=tgt.mask,
     )
 
 
@@ -356,8 +368,14 @@ def _scale_candidates(params, statics: PipelineStatics, src: Cloud,
     traffic and per-call overheads), match, predict SO(2), pose candidates."""
     des_r = jnp.maximum(pre.radii[scale], 1e-3)
     nf = statics.num_fps
+    # patch extraction sees the SAME validity as FPS/d2 (the clutter
+    # prefilter's refined masks live in ``pre`` — the raw Cloud masks would
+    # let filtered-out points re-enter patches via the block ball query's
+    # direct re-test)
     desc2, equi2, R2 = _embed_two(
-        params, statics, src, tgt, pre.src_kpts, pre.tgt_kpts, des_r,
+        params, statics,
+        Cloud(src.xyz, pre.src_mask), Cloud(tgt.xyz, pre.tgt_mask),
+        pre.src_kpts, pre.tgt_kpts, des_r,
         is_aligned, key, desc_model,
         d2_src=pre.d2_src[:nf], d2_tgt=pre.d2_tgt[:nf],
     )
@@ -538,6 +556,55 @@ def _register_batch_jit(params, statics, src, tgt, aligned, keys, scales):
     )(src, tgt, aligned, keys)
 
 
+@functools.partial(jax.jit, static_argnames=("statics", "scales"))
+def _batch_candidates_jit(params, statics, src, tgt, aligned, keys, scales):
+    """Batched candidate generation (stage 1 of the split serving path)."""
+    def one(s, t, a, k):
+        desc_model, pose_model = _models_from_statics(statics)
+        ks = jax.random.split(k, 4 + 2 * len(scales))
+        pre = _precompute(statics, Cloud(*s), Cloud(*t))
+        cands = [
+            _scale_candidates(
+                params, statics, Cloud(*s), Cloud(*t), pre, i, a,
+                ks[4 + 2 * j], desc_model, pose_model,
+            )
+            for j, i in enumerate(scales)
+        ]
+        return _cat_candidates(cands), ks[0]
+
+    return jax.vmap(one)(tuple(src), tuple(tgt), aligned, keys)
+
+
+@functools.partial(jax.jit, static_argnames=("statics", "num_scales_used"))
+def _batch_solve_jit(statics, cand, keys, src, tgt, num_scales_used):
+    """Batched consensus + solve (stage 2 of the split serving path)."""
+    return jax.vmap(
+        lambda c, k, s, t: _pool_and_solve(
+            statics, _Candidates(*c), k, Cloud(*s), Cloud(*t),
+            num_scales_used,
+        )
+    )(tuple(cand), keys, tuple(src), tuple(tgt))
+
+
+def register_batch_split(params, statics, src, tgt, aligned, keys,
+                         scales: tuple):
+    """Batched registration as TWO dispatched programs (candidates, then
+    consensus+solve) instead of one fused program.
+
+    Diagnostic/serving alternative for the B=8 fused-program anomaly
+    (round-2 finding: the fused vmapped program runs ~1.6x slower than its
+    own stage sum; splitting at the candidates/solve boundary gives XLA
+    two smaller scheduling problems). Dispatch is async, so the extra
+    program boundary costs one host->device program launch, not a round
+    trip."""
+    cand, solve_keys = _batch_candidates_jit(
+        params, statics, src, tgt, aligned, keys, scales
+    )
+    return _batch_solve_jit(
+        statics, cand, solve_keys, src, tgt, len(scales)
+    )
+
+
 def stack_clouds(clouds: list) -> Cloud:
     """[Cloud, ...] -> Cloud with a leading batch axis."""
     return Cloud(
@@ -554,6 +621,7 @@ def register_pairs_batched(
     params: Any,
     is_aligned: bool | jnp.ndarray,
     batch_size: int = 4,
+    split: bool = False,
 ) -> list:
     """Batched serving mode: registers ``len(srcs)`` pairs at fixed batch
     size with two-phase early exit.
@@ -564,10 +632,13 @@ def register_pairs_batched(
     early-exit confidence check are re-run through the full multi-scale
     program, padded back up to ``batch_size`` so both phases reuse one
     compiled executable each. Returns a list of RegistrationResult.
+    ``split`` dispatches each batch as two programs
+    (:func:`register_batch_split`) instead of one fused program.
     """
     statics = dataclasses.replace(
         PipelineStatics.from_config(cfg), enable_early_exit=False
     )
+    batch_fn = register_batch_split if split else _register_batch_jit
     n = len(srcs)
     all_scales = tuple(range(statics.num_scales))
     aligned = jnp.broadcast_to(jnp.asarray(is_aligned), (batch_size,))

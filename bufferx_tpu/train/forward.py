@@ -247,9 +247,12 @@ def desc_stage_loss(
     valid = batch["corr_valid"]
 
     dist_kpts = jnp.sqrt(sqdist(batch["tgt_kpt"], batch["tgt_kpt"]) + 1e-12)
+    dist_kpts_src = jnp.sqrt(
+        sqdist(batch["src_kpt"], batch["src_kpt"]) + 1e-12
+    )
     d_loss, d_acc = contrastive_loss(
         src["desc"], tgt["desc"], dist_kpts, valid,
-        safe_radius=statics.safe_radius,
+        safe_radius=statics.safe_radius, dist_keypts_src=dist_kpts_src,
     )
 
     logits = equi_match_scores(src["equi"], tgt["equi"], statics.azi_n)
@@ -260,12 +263,18 @@ def desc_stage_loss(
     e_loss, e_acc = so2_cross_entropy(logits, labels, valid)
 
     loss = 4.0 * d_loss + e_loss
+    # fold BOTH halves' BatchNorm statistics: the reference's single module
+    # sees the src and tgt calls sequentially, so its running stats average
+    # over both distributions — keeping only src's would skew them.
+    stats = jax.tree.map(
+        lambda a, b: 0.5 * (a + b), src["batch_stats"], tgt["batch_stats"]
+    )
     aux = {
         "desc_loss": d_loss,
         "desc_acc": d_acc,
         "eqv_loss": e_loss,
         "eqv_acc": e_acc,
-        "batch_stats": src["batch_stats"],
+        "batch_stats": stats,
     }
     return loss, aux
 

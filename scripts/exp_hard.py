@@ -72,6 +72,10 @@ def main() -> int:
     ap.add_argument("--voxel", type=float, default=0.025,
                     help="noise unit (meters); the sweep is in voxels")
     ap.add_argument("--exact-topk", action="store_true")
+    ap.add_argument("--no-block-ball-query", action="store_true",
+                    help="flat ball query instead of the two-level blocks")
+    ap.add_argument("--no-clutter-filter", action="store_true",
+                    help="disable the density clutter prefilter")
     ap.add_argument("--quick", action="store_true",
                     help="reduced grid + capacities (CPU smoke)")
     ap.add_argument("--cpu", action="store_true")
@@ -99,11 +103,22 @@ def main() -> int:
         stack_clouds,
     )
 
+    # --exact-topk gates the FLAT ball query's exact/approx top-k, so it
+    # must also turn the block ball query off (block_ball_query takes
+    # precedence in select_patches and would make the A/B a no-op).
     cfg = make_cfg("3DMatch").override(
         data=dict(root=""),
-        patch=dict(desc_mode=args.desc_mode, exact_topk=args.exact_topk),
+        patch=dict(
+            desc_mode=args.desc_mode,
+            exact_topk=args.exact_topk,
+            block_ball_query=(
+                False if args.exact_topk else not args.no_block_ball_query
+            ),
+        ),
         test=dict(pose_refine=True),
     )
+    if args.no_clutter_filter:
+        cfg = cfg.override(data=dict(clutter_filter=False))
     if args.quick:
         cfg = cfg.override(
             capacity=dict(max_points=4096, num_ransac_hypotheses=1024,

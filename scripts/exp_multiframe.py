@@ -1,0 +1,212 @@
+#!/usr/bin/env python3
+"""Multi-frame SLAM front-end demo at scale (round-3, VERDICT #9).
+
+Builds a 50+ frame synthetic trajectory through a hardsynth room scene
+(independent surface samples per frame — no shared point identities),
+registers odometry pairs + loop closures with the full pipeline sharded
+over the device mesh, and refines all frame poses with the factor-sharded
+pose-graph Gauss-Newton layer. Reports:
+
+- absolute trajectory error (ATE) of the chained odometry vs the
+  pose-graph-refined solution (loop closures must pull the accumulated
+  drift back down),
+- per-edge registration recall,
+- wall-clock + pairs/s for the sharded registration phase.
+
+Virtual-mesh usage (functional validation on CPU):
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python scripts/exp_multiframe.py --frames 50
+
+Prints one JSON summary line at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_trajectory(num_frames: int, radius: float, rs) -> list:
+    """Loop trajectory: frames walk a circle with yaw following the path
+    (returns world-from-frame [4,4] poses; frame k looks along the walk)."""
+    poses = []
+    for k in range(num_frames):
+        th = 2.0 * np.pi * k / num_frames
+        c, s = np.cos(th), np.sin(th)
+        T = np.eye(4, dtype=np.float64)
+        # position on the circle + small vertical wobble
+        T[:3, 3] = [radius * c, radius * s, 0.4 + 0.05 * np.sin(3 * th)]
+        yaw = th + np.pi / 2 + rs.uniform(-0.02, 0.02)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        T[:3, :3] = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
+        poses.append(T)
+    return poses
+
+
+def frame_cloud(prims, pose, rs, num_points, view_radius, noise):
+    """One frame's scan: fresh surface sample, cropped to a view ball
+    around the sensor, expressed in the frame's local coordinates."""
+    from bufferx_tpu.data.hardsynth import sample_scene
+
+    world = sample_scene(prims, rs, num_points * 3)
+    d = np.linalg.norm(world - pose[:3, 3], axis=1)
+    keep = world[d < view_radius]
+    if len(keep) > num_points:
+        keep = keep[rs.choice(len(keep), num_points, replace=False)]
+    inv = np.linalg.inv(pose)
+    local = keep @ inv[:3, :3].T + inv[:3, 3]
+    return (local + rs.randn(*local.shape) * noise).astype(np.float32)
+
+
+def ate(poses_est, poses_gt):
+    """RMS translation error after anchoring frame 0 (est and gt both
+    world-from-frame; est is already anchored at identity for frame 0)."""
+    g0 = np.linalg.inv(poses_gt[0])
+    errs = []
+    for Te, Tg in zip(poses_est, poses_gt):
+        Tg_a = g0 @ Tg
+        errs.append(np.linalg.norm(np.asarray(Te)[:3, 3] - Tg_a[:3, 3]))
+    return float(np.sqrt(np.mean(np.square(errs)))), float(np.max(errs))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--num-points", type=int, default=4096)
+    ap.add_argument("--extent", type=float, default=6.0)
+    ap.add_argument("--radius", type=float, default=1.6)
+    ap.add_argument("--view-radius", type=float, default=3.5)
+    ap.add_argument("--noise", type=float, default=0.005)
+    ap.add_argument("--loop-every", type=int, default=10,
+                    help="add a loop-closure edge (k, k-loop_every+1) "
+                         "plus the big (last, first) closure")
+    ap.add_argument("--checkpoint-dir", default="snapshot/hard_moments")
+    ap.add_argument("--gn-iters", type=int, default=15)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from bufferx_tpu.config import make_cfg
+    from bufferx_tpu.data.hardsynth import eval_scene
+    from bufferx_tpu.pipeline.multiframe import register_sequence
+    from bufferx_tpu.pipeline.registration import init_params
+
+    n_dev = len(jax.devices())
+    log(f"devices: {n_dev} x {jax.devices()[0].platform}")
+
+    cfg = make_cfg("3DMatch").override(
+        data=dict(root=""),
+        capacity=dict(max_points=args.num_points,
+                      num_ransac_hypotheses=2048, ransac_chunk=512,
+                      sphere_query_chunk=64),
+        patch=dict(num_fps=512, num_points_radius_estimate=512,
+                   num_points_per_patch=256, desc_mode="moments"),
+        test=dict(pose_refine=True),
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ckpt = args.checkpoint_dir
+    if ckpt and os.path.isdir(ckpt):
+        from bufferx_tpu.train.trainer import compose_staged_params
+
+        params = compose_staged_params(
+            os.path.join(ckpt, "Desc", "best.msgpack"),
+            os.path.join(ckpt, "Pose", "best.msgpack"), params,
+        )
+        log(f"checkpoint: {ckpt}")
+
+    rs = np.random.RandomState(args.seed)
+    prims = eval_scene(rs, extent=args.extent)
+    poses_gt = make_trajectory(args.frames, args.radius, rs)
+    log("sampling frame clouds...")
+    clouds = [
+        frame_cloud(prims, T, rs, args.num_points, args.view_radius,
+                    args.noise)
+        for T in poses_gt
+    ]
+
+    loops = [(k, k - args.loop_every + 1)
+             for k in range(args.loop_every - 1, args.frames,
+                            args.loop_every)]
+    loops.append((args.frames - 1, 0))
+    log(f"{args.frames} frames, {args.frames - 1} odometry edges, "
+        f"{len(loops)} loop closures")
+
+    t0 = time.perf_counter()
+    result = register_sequence(
+        cfg, clouds, params, jax.random.PRNGKey(args.seed),
+        loop_closures=loops, is_aligned=False, gn_iters=args.gn_iters,
+        use_mesh=(n_dev > 1),
+    )
+    jax.block_until_ready(result.poses)
+    reg_s = time.perf_counter() - t0
+    n_edges = args.frames - 1 + len(loops)
+
+    # per-edge recall vs GT relative poses
+    from bufferx_tpu.core import se3
+
+    edges = [(i, i + 1) for i in range(args.frames - 1)] + loops
+    ok = 0
+    for (i, j), r in zip(edges, result.pair_results):
+        T_gt_rel = np.linalg.inv(poses_gt[j]) @ poses_gt[i]
+        rte = float(se3.compute_rte(r.pose, jnp.asarray(
+            T_gt_rel.astype(np.float32))))
+        rre = float(se3.compute_rre(r.pose, jnp.asarray(
+            T_gt_rel.astype(np.float32))))
+        good = rte < cfg.test.rte_thresh and rre < cfg.test.rre_thresh
+        ok += int(good)
+        if not good:
+            log(f"  edge ({i},{j}) FAILED: rte {rte:.3f} rre {rre:.2f} "
+                f"inl {int(r.num_inliers)}")
+
+    # chained odometry (no GN) vs refined
+    from bufferx_tpu.pipeline.multiframe import build_pose_graph
+    from bufferx_tpu.parallel.posegraph import chain_initialization
+
+    odo_graph = build_pose_graph(
+        [(i, i + 1) for i in range(args.frames - 1)],
+        [np.asarray(r.pose) for r in result.pair_results[: args.frames - 1]],
+        [int(r.num_inliers) for r in result.pair_results[: args.frames - 1]],
+    )
+    chained = chain_initialization(odo_graph, args.frames)
+    ate_chain, max_chain = ate(np.asarray(chained), poses_gt)
+    ate_gn, max_gn = ate(np.asarray(result.poses), poses_gt)
+
+    summary = dict(
+        metric="multiframe_ate_rmse_m",
+        frames=args.frames,
+        edges=n_edges,
+        devices=n_dev,
+        edge_recall=round(ok / n_edges, 4),
+        ate_chained=round(ate_chain, 4),
+        ate_refined=round(ate_gn, 4),
+        ate_max_refined=round(max_gn, 4),
+        value=round(ate_gn, 4),
+        registration_s=round(reg_s, 1),
+        pairs_per_s=round(n_edges / reg_s, 3),
+    )
+    print(json.dumps(summary), flush=True)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps(summary) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -132,8 +132,14 @@ def main() -> int:
     # ---- stage 4: patch selection (src+tgt) -------------------------------
     def run_patches(sx, sm, kpts_s, des_r, d2s, tx, tm, kpts_t, d2t, keys):
         def one(px, pm, kp, r, d2, k):
+            # mirrors _embed_two: the production path's block ball query
+            # (and geometry) must be what gets profiled
             return select_patches(px, pm, kp, r, k, s.patch_sample,
-                                  d2=d2[:, : px.shape[0]])
+                                  use_approx=not s.exact_topk,
+                                  d2=d2[:, : px.shape[0]],
+                                  use_blocks=s.block_ball_query,
+                                  block=s.bq_block,
+                                  cand_blocks=s.bq_cand_blocks)
         sp, smk = jax.vmap(one)(sx, sm, kpts_s, des_r, d2s[:, :nf], keys)
         tp, tmk = jax.vmap(one)(tx, tm, kpts_t, des_r, d2t[:, :nf], keys)
         return (jnp.concatenate([sp, tp], axis=1),

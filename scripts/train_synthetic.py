@@ -6,18 +6,43 @@ registration over untrained weights. Batches are pre-generated on host and
 kept device-resident (the axon tunnel makes per-step host->device transfers
 expensive); steps index into the resident pool.
 
+``--curriculum`` (round 3) trains the Desc stage through phases of
+progressively harder pair distributions (overlap down to 0.1, density
+mismatch up to 10:1, clutter up to 20% — the 3DLoMatch-style axes the
+round-2 gate exposed as the weak cells), regenerating the resident pool
+between phases. Training scalars stream to ``<out>/scalars.jsonl``.
+
 Usage: python scripts/train_synthetic.py [--steps N] [--out DIR] [--cpu]
+       [--hard] [--curriculum] [--desc-mode moments]
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+
+# Desc-stage curriculum phases (fractions of --steps; knobs are
+# hard_training_stream arguments). The last phase sits AT the gate's hard
+# operating point (overlap 0.1-0.6 spans the 3DLoMatch 10-30% regime).
+CURRICULUM = [
+    dict(frac=0.15, overlap_range=(0.5, 0.9), noise_range=(0.0, 0.5),
+         density_choices=(1.0, 1.0, 2.0), clutter_choices=(0.0, 0.0)),
+    dict(frac=0.2, overlap_range=(0.35, 0.8), noise_range=(0.0, 0.8),
+         density_choices=(1.0, 1.0, 2.0, 4.0),
+         clutter_choices=(0.0, 0.0, 0.05)),
+    dict(frac=0.3, overlap_range=(0.2, 0.7), noise_range=(0.0, 1.0),
+         density_choices=(1.0, 1.0, 2.0, 4.0, 8.0),
+         clutter_choices=(0.0, 0.0, 0.05, 0.1)),
+    dict(frac=0.35, overlap_range=(0.1, 0.6), noise_range=(0.0, 1.2),
+         density_choices=(1.0, 2.0, 4.0, 8.0, 10.0),
+         clutter_choices=(0.0, 0.05, 0.1, 0.2)),
+]
 
 
 def main():
@@ -35,12 +60,20 @@ def main():
                          "(randomized overlap/noise/density/clutter on the "
                          "TRAIN scene family; the eval family stays held "
                          "out for scripts/exp_hard.py)")
+    ap.add_argument("--curriculum", action="store_true",
+                    help="phase the Desc stage through progressively harder "
+                         "distributions (implies --hard)")
+    ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
+    if args.curriculum:
+        args.hard = True
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from bufferx_tpu.config import make_cfg
@@ -59,60 +92,104 @@ def main():
     )
     params = init_params(cfg, jax.random.PRNGKey(0))
 
-    print(f"generating {args.pool} resident batches...", flush=True)
-    t0 = time.time()
-    if args.hard:
-        from bufferx_tpu.data.hardsynth import hard_training_stream
+    os.makedirs(args.out, exist_ok=True)
+    scalars_f = open(os.path.join(args.out, "scalars.jsonl"), "a")
 
-        pool = list(
-            hard_training_stream(
-                cfg, args.pool, seed=7, num_points=args.num_points
-            )
-        )
-    else:
-        pool = list(
-            synthetic_training_stream(
-                cfg, args.pool, seed=7, num_points=args.num_points,
-                overlap=0.8,
-            )
-        )
-    batch_pool = jax.tree.map(lambda *x: jnp.stack(x), *pool)
-    jax.block_until_ready(batch_pool)
-    print(f"pool ready in {time.time() - t0:.0f}s", flush=True)
+    def emit(stage, step, metrics, elapsed):
+        rec = dict(stage=stage, step=step, elapsed_s=round(elapsed, 1),
+                   **{k: round(float(v), 5) for k, v in metrics.items()})
+        scalars_f.write(json.dumps(rec) + "\n")
+        scalars_f.flush()
 
-    def run_stage(stage, variables, frozen, steps):
+    def make_pool(n, seed, knobs=None):
+        t0 = time.time()
+        if args.hard:
+            from bufferx_tpu.data.hardsynth import hard_training_stream
+
+            batches = list(
+                hard_training_stream(
+                    cfg, n, seed=seed, num_points=args.num_points,
+                    **(knobs or {}),
+                )
+            )
+        else:
+            batches = list(
+                synthetic_training_stream(
+                    cfg, n, seed=seed, num_points=args.num_points,
+                    overlap=0.8,
+                )
+            )
+        pool = jax.tree.map(lambda *x: jnp.stack(x), *batches)
+        pool = jax.device_put(pool)
+        jax.block_until_ready(pool)
+        print(f"pool({n}, seed={seed}) ready in {time.time() - t0:.0f}s",
+              flush=True)
+        return pool
+
+    def run_stage(stage, variables, frozen, steps, phases):
+        """phases: list of (num_steps, pool_knobs-or-None)."""
         opt = make_optimizer(cfg, stage, steps_per_epoch=max(steps // 4, 1))
         step_fn = make_train_step(cfg, stage, opt)
         opt_state = opt.init(variables["params"])
         key = jax.random.PRNGKey(1)
         t0 = time.time()
-        loss_hist = []
-        for i in range(steps):
-            key, sub = jax.random.split(key)
-            batch = jax.tree.map(lambda x: x[i % args.pool], batch_pool)
-            if stage == "Desc":
-                variables, opt_state, m = step_fn(
-                    variables, opt_state, batch, sub
+        gstep = 0
+        for pi, (n_steps, knobs) in enumerate(phases):
+            batch_pool = make_pool(args.pool, args.seed + 1009 * pi, knobs)
+            if knobs:
+                print(f"[{stage}] phase {pi}: {n_steps} steps, "
+                      f"overlap={knobs.get('overlap_range')}", flush=True)
+            for i in range(n_steps):
+                key, sub = jax.random.split(key)
+                batch = jax.tree.map(
+                    lambda x: x[gstep % args.pool], batch_pool
                 )
-            else:
-                variables, opt_state, m = step_fn(
-                    variables, opt_state, frozen, batch, sub
-                )
-            if i % 50 == 0 or i == steps - 1:
-                md = {k: float(v) for k, v in m.items()}
-                loss_hist.append(md["loss"])
-                print(
-                    f"[{stage} {i:5d}] "
-                    + " ".join(f"{k}:{v:.4f}" for k, v in sorted(md.items()))
-                    + f" ({(time.time() - t0):.0f}s)",
-                    flush=True,
-                )
+                if stage == "Desc":
+                    variables, opt_state, m = step_fn(
+                        variables, opt_state, batch, sub
+                    )
+                else:
+                    variables, opt_state, m = step_fn(
+                        variables, opt_state, frozen, batch, sub
+                    )
+                if gstep % 50 == 0 or gstep == steps - 1:
+                    md = {k: float(v) for k, v in m.items()}
+                    emit(stage, gstep, md, time.time() - t0)
+                    print(
+                        f"[{stage} {gstep:6d}] "
+                        + " ".join(
+                            f"{k}:{v:.4f}" for k, v in sorted(md.items())
+                        )
+                        + f" ({(time.time() - t0):.0f}s)",
+                        flush=True,
+                    )
+                gstep += 1
+            del batch_pool
         return variables
 
-    desc_vars = run_stage("Desc", params["desc"], None, args.steps)
+    if args.curriculum:
+        desc_phases = [
+            (max(int(args.steps * p["frac"]), 1),
+             {k: v for k, v in p.items() if k != "frac"})
+            for p in CURRICULUM
+        ]
+        # Pose stage trains at the mid-hard distribution (it learns the
+        # SO(2) matcher on descriptors that are already frozen)
+        pose_knobs = {
+            k: v for k, v in CURRICULUM[2].items() if k != "frac"
+        }
+        pose_phases = [(args.pose_steps, pose_knobs)]
+    else:
+        desc_phases = [(args.steps, None)]
+        pose_phases = [(args.pose_steps, None)]
+
+    desc_vars = run_stage("Desc", params["desc"], None, args.steps,
+                          desc_phases)
     save_params(os.path.join(args.out, "Desc", "best.msgpack"), desc_vars)
-    pose_vars = run_stage("Pose", params["pose"], desc_vars, args.pose_steps)
+    pose_vars = run_stage("Pose", params["pose"], desc_vars,
+                          args.pose_steps, pose_phases)
     save_params(os.path.join(args.out, "Pose", "best.msgpack"), pose_vars)
+    scalars_f.close()
     print("saved to", args.out, flush=True)
 
 

@@ -253,3 +253,74 @@ class TestRegisterPairsBatched:
             assert int(r.scales_used) == 1
             assert float(se3.compute_rte(r.pose, jnp.asarray(T))) < \
                 cfg.test.rte_thresh
+
+
+class TestSplitBatchPath:
+    def test_split_matches_fused(self, cfg_params):
+        """register_batch_split (two dispatched programs) must produce the
+        same result as the fused _register_batch_jit program."""
+        from bufferx_tpu.pipeline.registration import (
+            _register_batch_jit,
+            register_batch_split,
+            stack_clouds,
+        )
+
+        cfg, params = cfg_params
+        statics = PipelineStatics.from_config(cfg)
+        srcs, tgts = [], []
+        for i in range(2):
+            rs = np.random.RandomState(300 + i)
+            s, t, _ = synthetic_pair_full_overlap(rs, num_points=1800)
+            srcs.append(prepare_cloud(s, cfg, seed=i))
+            tgts.append(prepare_cloud(t, cfg, seed=i))
+        sb, tb = stack_clouds(srcs), stack_clouds(tgts)
+        aligned = jnp.zeros(2, bool)
+        keys = jax.random.split(jax.random.PRNGKey(5), 2)
+        scales = tuple(range(statics.num_scales))
+
+        fused = _register_batch_jit(
+            params, statics, sb, tb, aligned, keys, scales
+        )
+        split = register_batch_split(
+            params, statics, sb, tb, aligned, keys, scales
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.pose), np.asarray(split.pose), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fused.num_inliers), np.asarray(split.num_inliers)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fused.num_mutual), np.asarray(split.num_mutual)
+        )
+
+
+class TestClutterFilterMaskPropagation:
+    def test_filtered_points_stay_out_of_patches(self, cfg_params):
+        """Round-3 ADVICE fix: with clutter_filter on, the block ball
+        query must not re-admit filtered-out points into patches. Proxy
+        check: both ball-query paths (flat d2-based and two-level block)
+        agree that heavy clutter around an isolated region is excluded —
+        pose recovery succeeds identically with both paths."""
+        cfg, params = cfg_params
+        rs = np.random.RandomState(77)
+        s, t, T = synthetic_pair_full_overlap(rs, num_points=1500)
+        # add volumetric clutter to both clouds
+        def with_clutter(p):
+            lo, hi = p.min(0), p.max(0)
+            out = rs.uniform(lo - 0.2, hi + 0.2, (200, 3)).astype(np.float32)
+            return np.concatenate([p, out])
+
+        cfg_f = cfg.override(data=dict(clutter_filter=True))
+        for use_blocks in (False, True):
+            c = cfg_f.override(patch=dict(block_ball_query=use_blocks))
+            res = register_pair(
+                c,
+                prepare_cloud(with_clutter(s), c, seed=0),
+                prepare_cloud(with_clutter(t), c, seed=1),
+                jax.random.PRNGKey(3),
+                params=params,
+            )
+            assert bool(res.valid)
+            assert float(se3.compute_rte(res.pose, jnp.asarray(T))) < \
+                cfg.test.rte_thresh

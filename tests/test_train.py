@@ -223,6 +223,110 @@ class TestTrainSteps:
         assert max(jax.tree.leaves(diff)) == 0.0
 
 
+class TestRotationAugment:
+    """data/training.py:rotate_pair — cloud-level rotation augmentation."""
+
+    def _check_conjugation(self, mode, rng):
+        from bufferx_tpu.data.training import rotate_pair
+
+        rs = np.random.RandomState(3)
+        src = rng.randn(200, 3).astype(np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(rotation_z(jnp.asarray(0.7)))
+        T[:3, 3] = [0.2, -0.1, 0.3]
+        tgt = src @ T[:3, :3].T + T[:3, 3]
+        s2, t2, T2 = rotate_pair(src, tgt, T, rs, mode)
+        # the conjugated pose must map the rotated src onto the rotated tgt
+        err = np.abs(s2 @ T2[:3, :3].T + T2[:3, 3] - t2).max()
+        assert err < 1e-4
+        # and the clouds must actually have moved (augmentation happened)
+        assert np.abs(s2 - src).max() > 1e-3
+        # rotation part stays orthonormal
+        R = T2[:3, :3]
+        assert np.abs(R @ R.T - np.eye(3)).max() < 1e-5
+
+    def test_so3_conjugation(self, rng):
+        self._check_conjugation("so3", rng)
+
+    def test_so2_conjugation(self, rng):
+        self._check_conjugation("so2", rng)
+
+    def test_so2_preserves_z(self, rng):
+        from bufferx_tpu.data.training import rotate_pair
+
+        rs = np.random.RandomState(4)
+        src = rng.randn(50, 3).astype(np.float32)
+        tgt = src.copy()
+        _, _, T2 = rotate_pair(src, tgt, np.eye(4, dtype=np.float32), rs, "so2")
+        # so2 mode: the conjugated rotation is still a rotation about +z
+        assert np.abs(T2[2, :3] - [0, 0, 1]).max() < 1e-6
+        assert np.abs(T2[:3, 2] - [0, 0, 1]).max() < 1e-6
+
+    def test_none_identity(self, rng):
+        from bufferx_tpu.data.training import rotate_pair
+
+        rs = np.random.RandomState(5)
+        src = rng.randn(50, 3).astype(np.float32)
+        T = np.eye(4, dtype=np.float32)
+        s2, t2, T2 = rotate_pair(src, src.copy(), T, rs, "none")
+        assert np.array_equal(s2, src) and np.array_equal(T2, T)
+
+    def test_batch_correspondences_survive_augmentation(self):
+        # end-to-end: build_training_batch (rotation_augment defaults to
+        # so3 for the indoor profile) still yields valid GT matches whose
+        # warp error is below the voxel size
+        cfg = tiny_cfg()
+        assert cfg.train.rotation_augment == "so3"
+        rs = np.random.RandomState(0)
+        src, tgt, T = synthetic_pair_full_overlap(rs, num_points=2000)
+        batch = build_training_batch(cfg, src, tgt, T, rs, jax.random.PRNGKey(2))
+        v = np.asarray(batch["corr_valid"])
+        assert v.sum() >= 8
+        gt = np.asarray(batch["gt_pose"])
+        sk = np.asarray(batch["src_kpt"])[v]
+        tk = np.asarray(batch["tgt_kpt"])[v]
+        err = np.linalg.norm(sk @ gt[:3, :3].T + gt[:3, 3] - tk, axis=-1)
+        assert err.max() < cfg.data.voxel_size_0 + 1e-6
+
+
+class TestSymmetricNegatives:
+    def test_column_direction_adds_penalty(self, rng):
+        # descriptor set where the hardest negative exists only in the
+        # column direction: anchors far apart, one positive duplicated
+        anc = np.eye(6, 8, dtype=np.float32) * 2.0
+        pos = np.eye(6, 8, dtype=np.float32) * 2.0
+        anc[3] = pos[0] + 0.01  # anchor 3 sits on top of positive 0
+        kd = np.full((6, 6), 10.0, np.float32)
+        valid = np.ones(6, bool)
+        row_only, _ = contrastive_loss(
+            jnp.asarray(anc), jnp.asarray(pos), jnp.asarray(kd),
+            jnp.asarray(valid),
+        )
+        sym, _ = contrastive_loss(
+            jnp.asarray(anc), jnp.asarray(pos), jnp.asarray(kd),
+            jnp.asarray(valid), dist_keypts_src=jnp.asarray(kd),
+        )
+        # symmetric mining sees the extra hard negative -> larger loss
+        assert float(sym) > float(row_only)
+
+    def test_safe_radius_masks_source_side(self, rng):
+        anc = rng.randn(6, 8).astype(np.float32)
+        pos = anc + 0.01
+        far = np.full((6, 6), 10.0, np.float32)
+        near = np.full((6, 6), 0.0, np.float32)  # all spatially near
+        l_far, _ = contrastive_loss(
+            jnp.asarray(anc), jnp.asarray(pos), jnp.asarray(far),
+            jnp.ones(6, bool), dist_keypts_src=jnp.asarray(far),
+        )
+        l_near, _ = contrastive_loss(
+            jnp.asarray(anc), jnp.asarray(pos), jnp.asarray(far),
+            jnp.ones(6, bool), dist_keypts_src=jnp.asarray(near),
+        )
+        # near source keypoints are excluded as column negatives -> the
+        # column hinge saturates at neg_margin (no negatives available)
+        assert float(l_near) >= float(l_far)
+
+
 class TestStream:
     def test_synthetic_stream_shapes(self):
         cfg = tiny_cfg()
