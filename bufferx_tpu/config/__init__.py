@@ -138,8 +138,8 @@ class PatchConfig:
     # gather cost scales with bq_cand_blocks (rows gathered per center)
     # and the level-1 top_k with both knobs; bq_block * bq_cand_blocks is
     # the candidate-pool width (must be >= num_points_per_patch).
-    bq_block: int = 16
-    bq_cand_blocks: int = 128
+    bq_block: int = 32
+    bq_cand_blocks: int = 64
 
 
 @dataclass(frozen=True)

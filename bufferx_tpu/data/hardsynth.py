@@ -367,6 +367,7 @@ def hard_training_stream(
     noise_range: Tuple[float, float] = (0.0, 1.0),
     density_choices: Tuple[float, ...] = (1.0, 1.0, 2.0, 4.0, 8.0),
     clutter_choices: Tuple[float, ...] = (0.0, 0.0, 0.05, 0.1),
+    host_arrays: bool = False,
 ):
     """Hetero-robust training stream: pairs from the TRAIN family with
     randomized overlap / noise / density-mismatch / clutter augmentation
@@ -396,4 +397,5 @@ def hard_training_stream(
             extent=1.5 if family == "train" else 3.0,
         )
         key, sub = jax.random.split(key)
-        yield build_training_batch(cfg, src, tgt, T, rs, sub)
+        yield build_training_batch(cfg, src, tgt, T, rs, sub,
+                                   host_arrays=host_arrays)

@@ -115,6 +115,40 @@ def random_des_r(cfg: Config, rs: np.random.RandomState) -> float:
     return float(np.round(np.clip(rs.normal(center, std), lo, hi), 2))
 
 
+def _host_gt_correspondences(
+    src_sds_p, src_sds_m, tgt_sds_p, tgt_sds_m, gt_pose, voxel_size,
+    rs: np.random.RandomState, pos_num: int,
+):
+    """Host (numpy/scipy) twin of ``sample_gt_correspondences``: warp src
+    sds by GT, 1-NN against tgt sds, keep matches within the voxel size,
+    random ``pos_num`` subsample. Same distribution as the jitted version
+    (which stays the device path for jit-composed pipelines); this one
+    exists so POOL ASSEMBLY never touches the device — over the axon
+    tunnel, per-batch device round trips made pool building RTT-bound
+    (measured: a 256-batch pool took >19 min device-side, ~40 s host-side).
+    """
+    from scipy.spatial import cKDTree
+
+    sv = src_sds_p[src_sds_m]
+    tv = tgt_sds_p[tgt_sds_m]
+    kpt_s = np.zeros((pos_num, 3), np.float32)
+    kpt_t = np.zeros((pos_num, 3), np.float32)
+    valid = np.zeros(pos_num, bool)
+    if len(sv) and len(tv):
+        warped = sv @ gt_pose[:3, :3].T + gt_pose[:3, 3]
+        d, idx = cKDTree(tv).query(warped)
+        match = d < voxel_size
+        mi = np.nonzero(match)[0]
+        if len(mi):
+            take = rs.choice(len(mi), min(pos_num, len(mi)), replace=False)
+            sel = mi[take]
+            k = len(sel)
+            kpt_s[:k] = sv[sel]
+            kpt_t[:k] = tv[idx[sel]]
+            valid[:k] = True
+    return kpt_s, kpt_t, valid
+
+
 def build_training_batch(
     cfg: Config,
     src_pts: np.ndarray,
@@ -122,11 +156,17 @@ def build_training_batch(
     gt_pose: np.ndarray,
     rs: np.random.RandomState,
     key: jax.Array,
+    host_arrays: bool = False,
 ) -> dict:
     """Raw pair -> fixed-shape training batch dict.
 
     fds = first downsample at ``cfg.data.downsample`` (+ jitter aug),
     sds = second downsample at ``cfg.data.voxel_size_0`` (supervision kpts).
+
+    ``host_arrays=True`` keeps everything numpy (GT correspondences via
+    the host KD-tree twin) so callers can assemble a whole resident pool
+    and ship it with ONE ``device_put`` — the only sane pattern over a
+    high-RTT device link.
     """
     cap = cfg.capacity.max_points
     noise = cfg.train.augmentation_noise
@@ -147,10 +187,31 @@ def build_training_batch(
     src_sds_p, src_sds_m = _pad(src_sds, cap, rs)
     tgt_sds_p, tgt_sds_m = _pad(tgt_sds, cap, rs)
 
+    gt_pose = np.asarray(gt_pose, np.float32)
+    if host_arrays:
+        src_kpt, tgt_kpt, corr_valid = _host_gt_correspondences(
+            src_sds_p, src_sds_m, tgt_sds_p, tgt_sds_m, gt_pose,
+            cfg.data.voxel_size_0, rs, cfg.train.pos_num,
+        )
+        return {
+            "src_fds": src_fds_p,
+            "src_fds_mask": src_fds_m,
+            "tgt_fds": tgt_fds_p,
+            "tgt_fds_mask": tgt_fds_m,
+            "src_kpt": src_kpt,
+            "tgt_kpt": tgt_kpt,
+            "corr_valid": corr_valid,
+            "gt_pose": gt_pose,
+            "des_r": np.float32(random_des_r(cfg, rs)),
+            "is_aligned": np.asarray(
+                bool(cfg.patch.is_aligned_to_global_z)
+            ),
+        }
+
     src_kpt, tgt_kpt, corr_valid = sample_gt_correspondences(
         jnp.asarray(src_sds_p), jnp.asarray(src_sds_m),
         jnp.asarray(tgt_sds_p), jnp.asarray(tgt_sds_m),
-        jnp.asarray(np.asarray(gt_pose, np.float32)),
+        jnp.asarray(gt_pose),
         jnp.float32(cfg.data.voxel_size_0),
         key, cfg.train.pos_num,
     )
@@ -162,7 +223,7 @@ def build_training_batch(
         "src_kpt": src_kpt,
         "tgt_kpt": tgt_kpt,
         "corr_valid": corr_valid,
-        "gt_pose": jnp.asarray(np.asarray(gt_pose, np.float32)),
+        "gt_pose": jnp.asarray(gt_pose),
         "des_r": jnp.float32(random_des_r(cfg, rs)),
         "is_aligned": jnp.asarray(bool(cfg.patch.is_aligned_to_global_z)),
     }
@@ -174,6 +235,7 @@ def synthetic_training_stream(
     seed: int = 0,
     num_points: int = 6000,
     overlap: float = 0.8,
+    host_arrays: bool = False,
 ) -> Iterator[dict]:
     """Procedural training pairs (no external data needed)."""
     key = jax.random.PRNGKey(seed)
@@ -183,4 +245,5 @@ def synthetic_training_stream(
             rs, num_points=num_points, overlap=overlap, noise=0.001
         )
         key, sub = jax.random.split(key)
-        yield build_training_batch(cfg, src, tgt, T, rs, sub)
+        yield build_training_batch(cfg, src, tgt, T, rs, sub,
+                                   host_arrays=host_arrays)

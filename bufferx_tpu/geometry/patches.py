@@ -36,8 +36,8 @@ def select_patches(
     use_approx: bool = True,
     d2: jnp.ndarray | None = None,
     use_blocks: bool = False,
-    block: int = 16,
-    cand_blocks: int = 128,
+    block: int = 32,
+    cand_blocks: int = 64,
 ):
     """Returns (patches [K, P, 3] absolute coords, patch_mask [K, P]).
 

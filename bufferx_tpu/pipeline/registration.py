@@ -112,8 +112,8 @@ class PipelineStatics:
     exact_topk: bool = False     # exact ball-query slot selection
     clutter_filter: bool = False  # density prefilter (kernels/density.py)
     block_ball_query: bool = True  # two-level block ball query
-    bq_block: int = 16             # points per block (block ball query)
-    bq_cand_blocks: int = 128      # candidate blocks per center
+    bq_block: int = 32             # points per block (block ball query)
+    bq_cand_blocks: int = 64       # candidate blocks per center
 
     @classmethod
     def from_config(cls, cfg: Config) -> "PipelineStatics":

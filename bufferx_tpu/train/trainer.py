@@ -47,6 +47,7 @@ def make_optimizer(cfg: Config, stage: str, steps_per_epoch: int):
         staircase=True,
     )
     return optax.chain(
+        optax.clip_by_global_norm(5.0),
         optax.add_decayed_weights(cfg.optim.weight_decay),
         optax.adam(lr),
     )
@@ -89,10 +90,20 @@ def make_train_step(cfg: Config, stage: str, optimizer) -> Callable:
         )
         cand = optax.apply_updates(variables["params"], updates)
         new_params, ok = _finite_guard(grads, cand, variables["params"])
+        # batch_stats must be guarded like params: one non-finite forward
+        # would otherwise poison the running statistics permanently (the
+        # finite-grad guard alone cannot recover from NaN stats)
+        new_stats = aux.pop("batch_stats")
+        old_stats = variables.get("batch_stats", new_stats)
+        stats_ok = ok & jnp.all(jnp.stack(
+            [jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(new_stats)]
+        ))
         new_vars = {
             **variables,
             "params": new_params,
-            "batch_stats": aux.pop("batch_stats"),
+            "batch_stats": jax.tree.map(
+                lambda n, o: jnp.where(stats_ok, n, o), new_stats, old_stats
+            ),
         }
         metrics = {k: v for k, v in aux.items()}
         metrics["loss"] = loss
@@ -115,10 +126,20 @@ def make_train_step(cfg: Config, stage: str, optimizer) -> Callable:
         )
         cand = optax.apply_updates(variables["params"], updates)
         new_params, ok = _finite_guard(grads, cand, variables["params"])
+        # batch_stats must be guarded like params: one non-finite forward
+        # would otherwise poison the running statistics permanently (the
+        # finite-grad guard alone cannot recover from NaN stats)
+        new_stats = aux.pop("batch_stats")
+        old_stats = variables.get("batch_stats", new_stats)
+        stats_ok = ok & jnp.all(jnp.stack(
+            [jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(new_stats)]
+        ))
         new_vars = {
             **variables,
             "params": new_params,
-            "batch_stats": aux.pop("batch_stats"),
+            "batch_stats": jax.tree.map(
+                lambda n, o: jnp.where(stats_ok, n, o), new_stats, old_stats
+            ),
         }
         metrics = {k: v for k, v in aux.items()}
         metrics["loss"] = loss
@@ -281,6 +302,7 @@ class Trainer:
                 + " ".join(f"{k}:{v.avg:.4f}" for k, v in meters.items())
                 + f" val_{watch}:{val_loss:.4f}"
             )
+            self._emit_scalars(epoch, meters, val_loss, watch)
             save_params(
                 os.path.join(self.snapshot_dir, self.stage, f"{epoch}.msgpack"),
                 self.variables,
@@ -298,6 +320,23 @@ class Trainer:
                     self.variables,
                 )
         return self.variables
+
+    def _emit_scalars(self, epoch, meters, val_loss, watch):
+        """Per-epoch scalar sink: append-only JSONL next to the snapshots
+        (the dependency-free counterpart of the reference's tensorboardX
+        scalars, ``trainer.py:23,68``)."""
+        import json
+
+        path = os.path.join(self.snapshot_dir, self.stage, "scalars.jsonl")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        rec = dict(
+            epoch=epoch,
+            stage=self.stage,
+            **{k: round(v.avg, 6) for k, v in meters.items()},
+        )
+        rec[f"val_{watch}"] = round(float(val_loss), 6)
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     def evaluate(self) -> float:
         watch = "desc_loss" if self.stage == "Desc" else "match_loss"

@@ -120,6 +120,9 @@ def main() -> int:
         ("blocks16x128 only", False, True, 16, 128),
         ("blocks32x64 only", False, True, 32, 64),
         ("filter + blocks16x128", True, True, 16, 128),
+        ("filter + blocks32x64", True, True, 32, 64),
+        ("blocks64x32 only", False, True, 64, 32),
+        ("filter + blocks64x32", True, True, 64, 32),
     ]
 
     if args.only:

@@ -82,6 +82,9 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=20240)
     ap.add_argument("--out", default="",
                     help="append JSON lines here as well as stdout")
+    ap.add_argument("--cells", default="",
+                    help="comma-separated cell indices to run (subset gate "
+                         "for cheap A/Bs; indices follow build_cells order)")
     args = ap.parse_args()
 
     import jax
@@ -147,7 +150,12 @@ def main() -> int:
     ))
 
     rte_th, rre_th = cfg.test.rte_thresh, cfg.test.rre_thresh
-    cells = build_cells(args.quick)
+    cells = list(enumerate(build_cells(args.quick)))
+    if args.cells:
+        want = {int(c) for c in args.cells.split(",")}
+        # keep ORIGINAL indices: cell seeds derive from them, so subset
+        # runs score the exact same pairs as full runs
+        cells = [(i, c) for i, c in cells if i in want]
     log(f"mode={args.desc_mode} exact_topk={args.exact_topk} "
         f"cells={len(cells)} pairs/cell={args.pairs_per_cell} "
         f"thresholds RTE<{rte_th} RRE<{rre_th}")
@@ -155,7 +163,7 @@ def main() -> int:
     out_f = open(args.out, "a") if args.out else None
     rows = []
     t_start = time.perf_counter()
-    for ci, cell in enumerate(cells):
+    for run_i, (ci, cell) in enumerate(cells):
         rtes, rres = [], []
         key = jax.random.PRNGKey(args.seed + ci)
         n = args.pairs_per_cell
@@ -205,7 +213,7 @@ def main() -> int:
         if out_f:
             out_f.write(line + "\n")
             out_f.flush()
-        log(f"[{ci + 1}/{len(cells)}] ov={cell['overlap']} "
+        log(f"[{run_i + 1}/{len(cells)} cell {ci}] ov={cell['overlap']} "
             f"nz={cell['noise_vox']} dr={cell['density']} "
             f"cl={cell['clutter']}: recall {row['recall']:.2f} "
             f"rte_med {row['rte_med'] * 1000:.0f}mm rre {row['rre_med']:.2f}")

@@ -1,0 +1,164 @@
+#!/usr/bin/env python3
+"""Head-to-head serving-knob comparison with interleaved rounds.
+
+Sequential per-combo measurement over the axon tunnel is bimodal (~±50%:
+the tunnel/queue state drifts between slow and fast regimes — the same
+effect scripts/exp_order.py documented for program interleaving), so
+exp_ablate_defaults.py's one-window-per-combo protocol cannot rank combos
+reliably. This script compiles every candidate ONCE, then measures them
+ROUND-ROBIN — each round times each combo on the same batches — and
+reports the per-combo MIN and MEDIAN across rounds. Slow-regime rounds hit
+every combo equally; the min estimates the clean-device time.
+
+Usage: python scripts/exp_headtohead.py [--rounds 6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--pairs", type=int, default=16)
+    ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--full-scales", action="store_true",
+                    help="measure the full multi-scale program instead of "
+                         "scale-0")
+    ap.add_argument("--checkpoint-dir", default="snapshot/hard_moments")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from bufferx_tpu.config import make_cfg
+    from bufferx_tpu.data.modelnet import synthetic_pair_full_overlap
+    from bufferx_tpu.pipeline.registration import (
+        PipelineStatics,
+        _register_batch_jit,
+        init_params,
+        prepare_cloud,
+        register_batch_split,
+        stack_clouds,
+    )
+
+    base = make_cfg("ModelNet40").override(patch=dict(desc_mode="moments"))
+    if args.quick:
+        base = base.override(
+            capacity=dict(max_points=4096, num_ransac_hypotheses=1024,
+                          ransac_chunk=256, sphere_query_chunk=64),
+            patch=dict(num_fps=384, num_points_radius_estimate=384,
+                       num_points_per_patch=192),
+        )
+    params = init_params(base, jax.random.PRNGKey(0))
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = os.path.join(here, args.checkpoint_dir)
+    if os.path.isdir(ckpt) and not args.quick:
+        from bufferx_tpu.train.trainer import compose_staged_params
+
+        params = compose_staged_params(
+            os.path.join(ckpt, "Desc", "best.msgpack"),
+            os.path.join(ckpt, "Pose", "best.msgpack"), params,
+        )
+        log(f"checkpoint: {ckpt}")
+
+    B, n_pairs = args.batch, args.pairs
+    num_points = 4096 if args.quick else 24000
+    pairs = []
+    for i in range(n_pairs):
+        rs = np.random.RandomState(i)
+        s, t, T = synthetic_pair_full_overlap(rs, num_points=num_points)
+        pairs.append((prepare_cloud(s, base, seed=i),
+                      prepare_cloud(t, base, seed=i), T))
+    batches = []
+    for start in range(0, n_pairs, B):
+        idx = [min(start + j, n_pairs - 1) for j in range(B)]
+        batches.append((
+            stack_clouds([pairs[i][0] for i in idx]),
+            stack_clouds([pairs[i][1] for i in idx]),
+        ))
+    aligned = jnp.zeros((B,), bool)
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+
+    # candidates: (name, cfg-overrides, split?)
+    combos = [
+        ("flat", dict(cf=False, bq=False, b=32, c=64), False),
+        ("filter+flat", dict(cf=True, bq=False, b=32, c=64), False),
+        ("blocks32x64", dict(cf=False, bq=True, b=32, c=64), False),
+        ("filter+blocks32x64", dict(cf=True, bq=True, b=32, c=64), False),
+        ("filter+blocks32x64 SPLIT", dict(cf=True, bq=True, b=32, c=64),
+         True),
+        ("filter+flat SPLIT", dict(cf=True, bq=False, b=32, c=64), True),
+    ]
+
+    prepared = []
+    for name, o, split in combos:
+        cfg = base.override(
+            data=dict(clutter_filter=o["cf"]),
+            patch=dict(block_ball_query=o["bq"], bq_block=o["b"],
+                       bq_cand_blocks=o["c"]),
+        )
+        statics = PipelineStatics.from_config(cfg)
+        scales = (tuple(range(statics.num_scales)) if args.full_scales
+                  else (0,))
+        fn = register_batch_split if split else _register_batch_jit
+        t0 = time.perf_counter()
+        res = fn(params, statics, batches[0][0], batches[0][1], aligned,
+                 keys, scales)
+        np.asarray(res.pose)
+        log(f"compiled {name}: {time.perf_counter() - t0:.0f}s")
+        prepared.append((name, statics, fn, scales))
+
+    times = {name: [] for name, *_ in combos}
+    for r in range(args.rounds):
+        for name, statics, fn, scales in prepared:
+            t0 = time.perf_counter()
+            for sb, tb in batches:
+                res = fn(params, statics, sb, tb, aligned, keys, scales)
+                jax.device_get(res.pose)
+            dt = (time.perf_counter() - t0) / n_pairs * 1000
+            times[name].append(dt)
+        log(f"round {r}: " + "  ".join(
+            f"{n}={times[n][-1]:.1f}" for n in times))
+
+    rows = []
+    for name in times:
+        ts = np.asarray(times[name])
+        row = dict(name=name,
+                   full_scales=bool(args.full_scales),
+                   ms_per_pair_min=round(float(ts.min()), 1),
+                   ms_per_pair_med=round(float(np.median(ts)), 1),
+                   pairs_per_s_at_min=round(1000.0 / float(ts.min()), 2),
+                   rounds=args.rounds)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    if args.out:
+        with open(args.out, "a") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

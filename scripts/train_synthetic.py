@@ -109,17 +109,21 @@ def main():
             batches = list(
                 hard_training_stream(
                     cfg, n, seed=seed, num_points=args.num_points,
-                    **(knobs or {}),
+                    host_arrays=True, **(knobs or {}),
                 )
             )
         else:
             batches = list(
                 synthetic_training_stream(
                     cfg, n, seed=seed, num_points=args.num_points,
-                    overlap=0.8,
+                    overlap=0.8, host_arrays=True,
                 )
             )
-        pool = jax.tree.map(lambda *x: jnp.stack(x), *batches)
+        # stack on HOST, ship once: per-batch device_puts over the axon
+        # tunnel are RTT-bound (a 256-batch pool took >19 min that way)
+        import numpy as _np
+
+        pool = jax.tree.map(lambda *x: _np.stack(x), *batches)
         pool = jax.device_put(pool)
         jax.block_until_ready(pool)
         print(f"pool({n}, seed={seed}) ready in {time.time() - t0:.0f}s",

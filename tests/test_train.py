@@ -1,5 +1,7 @@
 """Training-layer tests: losses, SO(2) labels, train steps reduce loss."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -423,3 +425,40 @@ class TestUNetBackbone:
         out, mid = model.apply(variables, x, train=False)
         assert out.shape == (2, 7, 20, 32)
         assert mid is None
+
+
+class TestTrainerLoop:
+    def test_trainer_epochs_scalars_resume(self, tmp_path):
+        """Trainer host loop: scalars.jsonl sink + elastic resume."""
+        import json
+        from bufferx_tpu.train.trainer import Trainer
+
+        cfg = tiny_cfg()
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        rs = np.random.RandomState(0)
+        src, tgt, T = synthetic_pair_full_overlap(rs, num_points=1500)
+        batch = build_training_batch(cfg, src, tgt, T, rs,
+                                     jax.random.PRNGKey(1))
+
+        def batches():
+            return [batch, batch]
+
+        snap = str(tmp_path / "run")
+        tr = Trainer(cfg, "Desc", params["desc"], None, batches,
+                     steps_per_epoch=2, snapshot_dir=snap, log=lambda *a: None)
+        tr.train(epochs=2)
+
+        scalars = [
+            json.loads(line)
+            for line in open(os.path.join(snap, "Desc", "scalars.jsonl"))
+        ]
+        assert [s["epoch"] for s in scalars] == [0, 1]
+        assert all("desc_loss" in s and "val_desc_loss" in s for s in scalars)
+        assert os.path.exists(os.path.join(snap, "Desc", "best.msgpack"))
+
+        # resume: a fresh Trainer picks up from epoch 2
+        tr2 = Trainer(cfg, "Desc", params["desc"], None, batches,
+                      steps_per_epoch=2, snapshot_dir=snap,
+                      log=lambda *a: None)
+        assert tr2.resume()
+        assert tr2.start_epoch == 2
