@@ -20,12 +20,27 @@ Output: dict with
 
 from __future__ import annotations
 
+import jax
 import flax.linen as nn
 import jax.numpy as jnp
 
 from bufferx_tpu.models.layers import ConvBNRelu, CylindricalConvNet
 
 __all__ = ["MiniSpinNet"]
+
+
+def _safe_unit(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Exact L2 unit-normalization over the last axis.
+
+    The eps clamp must stay TINY: the pooled feature norm of an untrained
+    net is genuinely ~1e-6 (attention weights straddle zero and the grid
+    mean cancels), so any larger clamp stops producing unit vectors and
+    per-point norm variation then swamps descriptor geometry in matching.
+    The 1/||v|| gradient near zero-norm features is handled where it
+    belongs — the trainer's guarded update (clip + finite-checked
+    params/opt-state/stats rollback), not by distorting the forward.
+    """
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
 
 
 class MiniSpinNet(nn.Module):
@@ -67,10 +82,14 @@ class MiniSpinNet(nn.Module):
         w = ConvBNRelu(1, (1, 1), bn_affine=True, bn_axis_name=ax,
                        compute_dtype=dt)(w, train)
         f = jnp.mean(x * w, axis=(1, 2))                    # [K, 32]
-        f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
-
-        equi = x / jnp.maximum(
-            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12
-        )
+        # epsilon INSIDE the sqrt: d/df of f/max(||f||, eps) blows up as
+        # 1/||f|| near zero-norm features (all-masked patches / collapsed
+        # attention) — the unbounded gradient was a trainer NaN source.
+        # rsqrt(sum+eps) bounds the jacobian. The accumulation MUST be
+        # f32: in bf16 serving mode the squared norm quantizes to garbage
+        # (8-bit mantissa) and the normalized descriptors lose all
+        # discriminative structure.
+        f = _safe_unit(f)
+        equi = _safe_unit(x)
         equi = jnp.transpose(equi, (0, 3, 1, 2))            # [K, C, ele, azi]
         return {"desc": f, "equi": equi}

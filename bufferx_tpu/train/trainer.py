@@ -53,14 +53,34 @@ def make_optimizer(cfg: Config, stage: str, steps_per_epoch: int):
     )
 
 
-def _finite_guard(updates, new_params, old_params):
-    flat = jax.tree.leaves(updates)
-    ok = jnp.all(
-        jnp.stack([jnp.all(jnp.isfinite(u)) for u in flat])
+def _all_finite(tree) -> jnp.ndarray:
+    leaves = [x for x in jax.tree.leaves(tree)
+              if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)]
+    if not leaves:
+        return jnp.asarray(True)
+    return jnp.all(jnp.stack([jnp.all(jnp.isfinite(x)) for x in leaves]))
+
+
+def _guarded_update(optimizer, grads, opt_state, params):
+    """Apply an optimizer step only if BOTH grads and updates are finite.
+
+    Checking grads alone is not enough: one non-finite gradient poisons
+    Adam's m/v state, and on the NEXT step the gradients are finite while
+    the UPDATES are NaN — a grads-only guard then writes NaN into the
+    params (observed as a persistent NaN collapse at ~6k steps of a 60k
+    run). The optimizer state must also be rolled back, otherwise the
+    poisoned moments keep producing non-finite updates forever.
+    """
+    updates, new_opt = optimizer.update(grads, opt_state, params)
+    cand = optax.apply_updates(params, updates)
+    ok = _all_finite(grads) & _all_finite(updates)
+    new_params = jax.tree.map(
+        lambda n, o: jnp.where(ok, n, o), cand, params
     )
-    return jax.tree.map(
-        lambda n, o: jnp.where(ok, n, o), new_params, old_params
-    ), ok
+    kept_opt = jax.tree.map(
+        lambda n, o: jnp.where(ok, n, o), new_opt, opt_state
+    )
+    return new_params, kept_opt, ok
 
 
 def make_train_step(cfg: Config, stage: str, optimizer) -> Callable:
@@ -85,19 +105,14 @@ def make_train_step(cfg: Config, stage: str, optimizer) -> Callable:
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             variables["params"]
         )
-        updates, new_opt = optimizer.update(
-            grads, opt_state, variables["params"]
+        new_params, new_opt, ok = _guarded_update(
+            optimizer, grads, opt_state, variables["params"]
         )
-        cand = optax.apply_updates(variables["params"], updates)
-        new_params, ok = _finite_guard(grads, cand, variables["params"])
-        # batch_stats must be guarded like params: one non-finite forward
-        # would otherwise poison the running statistics permanently (the
-        # finite-grad guard alone cannot recover from NaN stats)
+        # batch_stats must be guarded too: one non-finite forward would
+        # otherwise poison the running statistics permanently
         new_stats = aux.pop("batch_stats")
         old_stats = variables.get("batch_stats", new_stats)
-        stats_ok = ok & jnp.all(jnp.stack(
-            [jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(new_stats)]
-        ))
+        stats_ok = ok & _all_finite(new_stats)
         new_vars = {
             **variables,
             "params": new_params,
@@ -121,19 +136,12 @@ def make_train_step(cfg: Config, stage: str, optimizer) -> Callable:
         (loss, aux), grads = jax.value_and_grad(pose_loss, has_aux=True)(
             variables["params"]
         )
-        updates, new_opt = optimizer.update(
-            grads, opt_state, variables["params"]
+        new_params, new_opt, ok = _guarded_update(
+            optimizer, grads, opt_state, variables["params"]
         )
-        cand = optax.apply_updates(variables["params"], updates)
-        new_params, ok = _finite_guard(grads, cand, variables["params"])
-        # batch_stats must be guarded like params: one non-finite forward
-        # would otherwise poison the running statistics permanently (the
-        # finite-grad guard alone cannot recover from NaN stats)
         new_stats = aux.pop("batch_stats")
         old_stats = variables.get("batch_stats", new_stats)
-        stats_ok = ok & jnp.all(jnp.stack(
-            [jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(new_stats)]
-        ))
+        stats_ok = ok & _all_finite(new_stats)
         new_vars = {
             **variables,
             "params": new_params,

@@ -462,3 +462,67 @@ class TestTrainerLoop:
                       log=lambda *a: None)
         assert tr2.resume()
         assert tr2.start_epoch == 2
+
+
+class TestNaNRecovery:
+    def test_guarded_update_survives_nan_grads(self):
+        """One NaN gradient must not poison params OR the optimizer state:
+        the next finite-grad step must produce a finite, APPLIED update
+        (regression: grads-only guarding let Adam's poisoned m/v write
+        NaN params one step later)."""
+        import optax
+        from bufferx_tpu.train.trainer import _guarded_update
+
+        opt = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+        params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+        state = opt.init(params)
+
+        good = {"w": jnp.full((4,), 0.1), "b": jnp.full((2,), -0.2)}
+        bad = {"w": jnp.asarray([jnp.nan, 1.0, 1.0, 1.0]),
+               "b": jnp.full((2,), jnp.inf)}
+
+        p1, s1, ok1 = _guarded_update(opt, good, state, params)
+        assert bool(ok1)
+        assert not np.allclose(np.asarray(p1["w"]), 1.0)  # applied
+
+        p2, s2, ok2 = _guarded_update(opt, bad, s1, p1)
+        assert not bool(ok2)
+        for leaf in jax.tree.leaves((p2, s2)):
+            arr = np.asarray(leaf)
+            if np.issubdtype(arr.dtype, np.floating):
+                assert np.isfinite(arr).all()
+
+        # the step AFTER the poison must be finite AND move the params
+        p3, s3, ok3 = _guarded_update(opt, good, s2, p2)
+        assert bool(ok3)
+        for leaf in jax.tree.leaves(p3):
+            assert np.isfinite(np.asarray(leaf)).all()
+        assert float(np.abs(np.asarray(p3["w"]) -
+                            np.asarray(p2["w"])).max()) > 0.0
+
+    def test_pipeline_absorbs_poison_batches(self):
+        """Degenerate batches (inf points, zero radius) must yield FINITE
+        losses — the masked geometry absorbs them (inf coords fail every
+        radius test; empty patches produce zero features)."""
+        from bufferx_tpu.train.trainer import make_optimizer, make_train_step
+
+        cfg = tiny_cfg()
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        rs = np.random.RandomState(0)
+        src, tgt, T = synthetic_pair_full_overlap(rs, num_points=1500)
+        clean = build_training_batch(cfg, src, tgt, T, rs,
+                                     jax.random.PRNGKey(1))
+        opt = make_optimizer(cfg, "Desc", steps_per_epoch=10)
+        step = make_train_step(cfg, "Desc", opt)
+        variables = params["desc"]
+        opt_state = opt.init(variables["params"])
+
+        for poison_fn in (
+            lambda b: {**b, "des_r": jnp.float32(0.0)},
+            lambda b: {**b, "src_fds": jnp.asarray(
+                np.where(np.arange(b["src_fds"].shape[0])[:, None] == 10,
+                         np.inf, np.asarray(b["src_fds"])))},
+        ):
+            _, _, m = step(variables, opt_state, poison_fn(clean),
+                           jax.random.PRNGKey(3))
+            assert np.isfinite(float(m["loss"]))
