@@ -75,21 +75,44 @@ def rotate_pair(
     Independent random rotations Rs/Rt applied to each cloud (the
     reference rotates both training halves: SO(3) for 3DMatch at
     ``dataset/threedmatch.py:104-107``, SO(2)-about-z for KITTI at
-    ``dataset/kitti.py:142-148``). With src' = Rs·src and tgt' = Rt·tgt
-    the pose mapping src'->tgt' is T' = Tt · T · Ts^{-1}.
+    ``dataset/kitti.py:142-148``). With src' = Rs·src + ds and
+    tgt' = Rt·tgt + dt the pose mapping src'->tgt' is
+    R' = Rt·R·Rs^T, t' = Rt·t + dt - R'·ds.
+
+    Each cloud is also pushed OFF-ORIGIN by a random offset of ~3x its
+    bounding radius. This reproduces the reference's sensor-frame
+    geometry: its fragments live in camera coordinates 0.5-4 m in front
+    of the origin, which keeps the LRF normal-sign disambiguation
+    (``dot(-z, keypoint) >= 0`` — geometry/lrf.py:37) stable under
+    rotation. Synthetic clouds straddle the origin, and independent
+    SO(3) rotations then decorrelate the sign decision between the two
+    halves — ~half the positive pairs get 180-degree-flipped LRFs and
+    the contrastive stage collapses to its positives-unlearnable saddle
+    (observed: desc_loss pinned at exactly neg_margin - pos_margin).
     """
     if mode == "none":
         return src_pts, tgt_pts, np.asarray(gt_pose, np.float32)
     Rs = _random_rotation(rs, mode)
     Rt = _random_rotation(rs, mode)
+
+    def offset(pts):
+        rad = float(np.linalg.norm(pts, axis=1).max()) + 1e-6
+        d = rs.randn(3)
+        if mode == "so2":
+            d[2] = abs(d[2])  # keep a gravity-consistent viewpoint shift
+        d /= np.linalg.norm(d) + 1e-12
+        return (d * rad * (2.5 + rs.uniform(0.0, 1.0))).astype(np.float32)
+
+    ds, dt = offset(src_pts), offset(tgt_pts)
     T = np.asarray(gt_pose, np.float32)
     R, t = T[:3, :3], T[:3, 3]
+    Rp = Rt @ R @ Rs.T
     out = np.eye(4, dtype=np.float32)
-    out[:3, :3] = Rt @ R @ Rs.T
-    out[:3, 3] = Rt @ t
+    out[:3, :3] = Rp
+    out[:3, 3] = Rt @ t + dt - Rp @ ds
     return (
-        (src_pts @ Rs.T).astype(np.float32),
-        (tgt_pts @ Rt.T).astype(np.float32),
+        (src_pts @ Rs.T + ds).astype(np.float32),
+        (tgt_pts @ Rt.T + dt).astype(np.float32),
         out,
     )
 

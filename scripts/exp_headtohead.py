@@ -42,6 +42,9 @@ def main() -> int:
                          "scale-0")
     ap.add_argument("--checkpoint-dir", default="snapshot/hard_moments")
     ap.add_argument("--out", default="")
+    ap.add_argument("--chunks", action="store_true",
+                    help="sweep capacity.sphere_query_chunk instead of the "
+                         "ball-query/filter combos")
     args = ap.parse_args()
 
     import jax
@@ -102,15 +105,23 @@ def main() -> int:
     keys = jax.random.split(jax.random.PRNGKey(7), B)
 
     # candidates: (name, cfg-overrides, split?)
-    combos = [
-        ("flat", dict(cf=False, bq=False, b=32, c=64), False),
-        ("filter+flat", dict(cf=True, bq=False, b=32, c=64), False),
-        ("blocks32x64", dict(cf=False, bq=True, b=32, c=64), False),
-        ("filter+blocks32x64", dict(cf=True, bq=True, b=32, c=64), False),
-        ("filter+blocks32x64 SPLIT", dict(cf=True, bq=True, b=32, c=64),
-         True),
-        ("filter+flat SPLIT", dict(cf=True, bq=False, b=32, c=64), True),
-    ]
+    if args.chunks:
+        combos = [
+            (f"chunk{sc}", dict(cf=True, bq=True, b=32, c=64, chunk=sc),
+             False)
+            for sc in (128, 256, 512, 1024)
+        ]
+    else:
+        combos = [
+            ("flat", dict(cf=False, bq=False, b=32, c=64), False),
+            ("filter+flat", dict(cf=True, bq=False, b=32, c=64), False),
+            ("blocks32x64", dict(cf=False, bq=True, b=32, c=64), False),
+            ("filter+blocks32x64", dict(cf=True, bq=True, b=32, c=64),
+             False),
+            ("filter+blocks32x64 SPLIT", dict(cf=True, bq=True, b=32, c=64),
+             True),
+            ("filter+flat SPLIT", dict(cf=True, bq=False, b=32, c=64), True),
+        ]
 
     prepared = []
     for name, o, split in combos:
@@ -119,6 +130,8 @@ def main() -> int:
             patch=dict(block_ball_query=o["bq"], bq_block=o["b"],
                        bq_cand_blocks=o["c"]),
         )
+        if "chunk" in o:
+            cfg = cfg.override(capacity=dict(sphere_query_chunk=o["chunk"]))
         statics = PipelineStatics.from_config(cfg)
         scales = (tuple(range(statics.num_scales)) if args.full_scales
                   else (0,))
