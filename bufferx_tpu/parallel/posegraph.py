@@ -169,10 +169,22 @@ def pose_graph_gauss_newton(
                 weights=_robust_factor_weights(poses, g, robust, robust_scale)
             )
         JTJ, JTr = normal_eqs(delta0, poses, g)
-        # gauge: anchor frame 0 (prior on its 6 increment dims)
+        # gauge: anchor frame 0 (prior on its 6 increment dims).
+        # Damping is RELATIVE to the problem scale (Levenberg-style):
+        # a fixed 1e-6 is numerically invisible next to sqrt(inlier)
+        # factor weights and leaves disconnected/weakly-constrained
+        # blocks near-singular — the f32 solve then emits garbage steps
+        # that compound into NaN poses over iterations.
+        scale = jnp.trace(JTJ) / k6
         anchor = jnp.zeros(k6).at[:6].set(anchor_weight)
-        JTJ = JTJ + jnp.diag(anchor + damping)
+        JTJ = JTJ + jnp.diag(
+            anchor + damping * jnp.maximum(scale, 1.0)
+        )
         step = -jnp.linalg.solve(JTJ, JTr)
+        # a non-finite or exploding step (singular block) must not
+        # poison the whole trajectory: zero it and let the damped next
+        # iteration retry
+        step = jnp.where(jnp.isfinite(step), step, 0.0)
         return _apply_increment(poses, step.reshape(num_poses, 6))
 
     return jax.lax.fori_loop(0, num_iters, gn_iter, poses_init)

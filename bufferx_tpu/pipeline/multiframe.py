@@ -124,7 +124,11 @@ def register_sequence(
         [int(r.num_inliers) for r in results],
     )
     init = chain_initialization(graph, k)
+    # Huber IRLS by default: real sequences contain failed/outlier edges
+    # (low-overlap loop closures), and un-reweighted GN lets one bad
+    # measurement drag every pose
     poses = pose_graph_gauss_newton(
-        graph, init, num_poses=k, num_iters=gn_iters
+        graph, init, num_poses=k, num_iters=gn_iters, robust="huber",
+        robust_scale=0.3,
     )
     return MultiFrameResult(poses=poses, graph=graph, pair_results=results)

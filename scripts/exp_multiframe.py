@@ -95,9 +95,24 @@ def main() -> int:
     ap.add_argument("--gn-iters", type=int, default=15)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", default="")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon plugin overrides "
+                         "JAX_PLATFORMS env — in-process config is the only "
+                         "reliable switch, see .claude/skills/verify)")
+    ap.add_argument("--virtual-devices", type=int, default=0,
+                    help="with --cpu: number of virtual host devices")
     args = ap.parse_args()
 
+    if args.cpu and args.virtual_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual_devices}"
+        )
+
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

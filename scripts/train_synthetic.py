@@ -64,6 +64,11 @@ def main():
                     help="phase the Desc stage through progressively harder "
                          "distributions (implies --hard)")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--init-from", default="",
+                    help="snapshot dir to initialize BOTH stages from "
+                         "(fine-tuning continuation)")
+    ap.add_argument("--lr-scale", type=float, default=1.0,
+                    help="scale both stage learning rates (fine-tune runs)")
     args = ap.parse_args()
     if args.curriculum:
         args.hard = True
@@ -90,7 +95,26 @@ def main():
         patch=dict(num_points_per_patch=256, desc_mode=args.desc_mode),
         train=dict(pos_num=256),
     )
+    if args.lr_scale != 1.0:
+        cfg = cfg.override(optim=dict(
+            lr_desc=cfg.optim.lr_desc * args.lr_scale,
+            lr_pose=cfg.optim.lr_pose * args.lr_scale,
+        ))
     params = init_params(cfg, jax.random.PRNGKey(0))
+    if args.init_from:
+        from bufferx_tpu.train.trainer import load_params
+
+        params = {
+            "desc": load_params(
+                os.path.join(args.init_from, "Desc", "best.msgpack"),
+                params["desc"]),
+            "pose": load_params(
+                os.path.join(args.init_from, "Pose", "best.msgpack"),
+                params["pose"]),
+        }
+        import jax as _jax
+        params = _jax.device_put(params)
+        print(f"initialized from {args.init_from}", flush=True)
 
     os.makedirs(args.out, exist_ok=True)
     scalars_f = open(os.path.join(args.out, "scalars.jsonl"), "a")
