@@ -25,7 +25,7 @@ import numpy as np
 
 BASELINE_PAIRS_PER_S = 2.0
 NUM_WARMUP = 2
-NUM_TIMED = 16
+NUM_TIMED = 32
 
 
 def log(*a):
@@ -63,7 +63,7 @@ def main() -> int:
     # describe one configuration.
     here = os.path.dirname(os.path.abspath(__file__))
     ckpt = ""
-    for name in ("hard_moments_r3", "hard_moments", "synthetic_moments"):
+    for name in ("hard_moments_r3ft", "hard_moments_r3", "hard_moments", "synthetic_moments"):
         cand = os.path.join(here, "snapshot", name)
         if os.path.isdir(cand):
             ckpt = cand
@@ -147,8 +147,8 @@ def main() -> int:
     from bufferx_tpu.pipeline.registration import register_pairs_batched
 
     cfg_ee = cfg.override(match=dict(enable_early_exit=True))
-    bsz = 8  # measured best multi-batch size (scripts/exp_batch.py:
-             # B=4 11.7, B=8 16.5, B=16 17.3-but-single-batch pairs/s)
+    bsz = 8  # measured best serving batch (scripts/exp_batch.py; B=16
+             # re-measured round 3: 16.15 vs B=8 16.43 pairs/s)
     srcs = [p[0] for p in pairs]
     tgts = [p[1] for p in pairs]
     _ = register_pairs_batched(          # compile both phases
