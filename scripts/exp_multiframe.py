@@ -91,7 +91,7 @@ def main() -> int:
     ap.add_argument("--loop-every", type=int, default=10,
                     help="add a loop-closure edge (k, k-loop_every+1) "
                          "plus the big (last, first) closure")
-    ap.add_argument("--checkpoint-dir", default="snapshot/hard_moments")
+    ap.add_argument("--checkpoint-dir", default="snapshot/hard_moments_r3ft")
     ap.add_argument("--gn-iters", type=int, default=15)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", default="")
