@@ -23,12 +23,13 @@ EXPECTED_FILES = [
 def check_model_repo(repo_id: str) -> str:
     repo_id = repo_id.strip()
     if not repo_id:
-        return "Enter a Hugging Face model repo id."
+        return ("No repo id given — paste the `user/name` of the model "
+                "repo holding the staged snapshots.")
     try:
         files = set(HfApi().list_repo_files(repo_id=repo_id,
                                             repo_type="model"))
     except Exception as exc:  # noqa: BLE001 — surface everything to the UI
-        return f"Could not read `{repo_id}`: {exc}"
+        return f"Listing `{repo_id}` failed: {exc}"
 
     present = [f for f in EXPECTED_FILES if f in files]
     missing = [f for f in EXPECTED_FILES if f not in files]
