@@ -657,7 +657,7 @@ def register_pairs_batched(
         tb = stack_clouds([tgts[i] for i in take])
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, batch_size)
-        res0 = _register_batch_jit(
+        res0 = batch_fn(
             params, statics, sb, tb, aligned, keys, (0,)
         )
         staged.append((idx, keys, res0))
@@ -683,7 +683,7 @@ def register_pairs_batched(
                 take2[slot] = idx[j]
             sb2 = stack_clouds([srcs[i] for i in take2])
             tb2 = stack_clouds([tgts[i] for i in take2])
-            res_full_h = jax.device_get(_register_batch_jit(
+            res_full_h = jax.device_get(batch_fn(
                 params, statics, sb2, tb2, aligned, keys, all_scales
             ))
         for j, i in enumerate(idx):
