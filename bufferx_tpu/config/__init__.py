@@ -165,7 +165,12 @@ class CapacityConfig:
     validity mask, so the whole pipeline traces to a single XLA program.
     """
 
-    max_points: int = 30000               # padded cloud size (== data.max_num_pts)
+    # Padded cloud size. >= data.max_num_pts (so no cloud is ever
+    # subsampled below the reference's 30000-point cap), and divisible by
+    # patch.bq_block AND the 128-lane tile so the block ball query's packed
+    # block view applies (round 3 shipped 30000, which silently disabled
+    # the block path: 30000 % 32 != 0). 30208 = 32 * 944 = 128 * 236.
+    max_points: int = 30208
     num_ransac_hypotheses: int = 8192     # vectorized hypothesize-and-verify budget
     ransac_chunk: int = 2048              # hypotheses scored per scan step
     sphere_query_chunk: int = 256         # patches per chunk in the SPT grid query

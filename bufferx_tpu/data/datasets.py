@@ -228,7 +228,16 @@ class ScannetppIphoneDataset(_FragmentDataset):
     Supports both the reference layout —
     ``<root>/<scene>/iphone/gt.log`` + ``iphone/tsdf/cloud_bin_N.ply``
     (what :func:`bufferx_tpu.tools.scannetpp.prepare_scene` produces) —
-    and a flat ``<root>/<scene>/{gt.log,cloud_bin_N.ply}``."""
+    and a flat ``<root>/<scene>/{gt.log,cloud_bin_N.ply}``.
+
+    The scene set is the PINNED benchmark list
+    (``splits.SCANNETPP_IPHONE_TEST``, reference
+    ``config/splits/test_scannetpp_iphone.txt``); a partially downloaded
+    root warns loudly instead of silently evaluating a smaller benchmark
+    (see :func:`bufferx_tpu.data.splits.pinned_scenes`)."""
+
+    scene_split = splits.SCANNETPP_IPHONE_TEST
+    split_name = "test_scannetpp_iphone"
 
     def __init__(self, cfg: Config, split: str = "test"):
         super().__init__(cfg, split)
@@ -237,7 +246,9 @@ class ScannetppIphoneDataset(_FragmentDataset):
             "scannetpp_iphone/<scene>/{iphone/{gt.log,tsdf/*.ply}|"
             "gt.log,*.ply}",
         )
-        for scene in sorted(os.listdir(cfg.data.root)):
+        for scene in splits.pinned_scenes(
+            cfg.data.root, self.scene_split, self.split_name
+        ):
             base = join(cfg.data.root, scene)
             if os.path.exists(join(base, "iphone", "gt.log")):
                 self._add_scene(
@@ -249,7 +260,12 @@ class ScannetppIphoneDataset(_FragmentDataset):
 
 
 class ScannetppFaroDataset(ScannetppIphoneDataset):
-    """ScanNet++ simulated-Faro scans (``dataset/scannetpp_faro.py``)."""
+    """ScanNet++ simulated-Faro scans (``dataset/scannetpp_faro.py``);
+    pinned scene list ``splits.SCANNETPP_FARO_TEST`` (reference
+    ``config/splits/test_scannetpp_faro.txt``, 163 scenes)."""
+
+    scene_split = splits.SCANNETPP_FARO_TEST
+    split_name = "test_scannetpp_faro"
 
 
 class ModelNet40Dataset(_FragmentDataset):

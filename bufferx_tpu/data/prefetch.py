@@ -73,30 +73,55 @@ def prefetch_iter(
 
     Use when the iterable itself performs the heavy work per ``next()``
     (generator-style loaders). Exceptions raised by the source are
-    re-raised at the consuming side; the filler thread is a daemon, so an
-    abandoned consumer never blocks interpreter exit.
+    re-raised at the consuming side. Abandoning the iterator (GeneratorExit
+    from an exception mid-consumption or a partial iteration) STOPS the
+    filler thread: every ``put`` is timeout-polled against a stop event, so
+    a blocked filler cannot leak the thread, hold sample memory, or keep
+    dispatching device work (``prepare_cloud`` runs inside prefetched
+    generators in the eval harness) that would overlap a later run.
     """
     q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
     err: list = []
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        """Bounded put that aborts when the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def fill():
         try:
             for item in it:
-                q.put(item)
+                if not put(item):
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised at consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            put(_SENTINEL)
 
     t = threading.Thread(target=fill, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        # unblock a filler waiting on a full queue so it observes the stop
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def prefetch_samples(

@@ -60,32 +60,38 @@ def _quat_imag_batch(R: np.ndarray) -> np.ndarray:
     R = np.asarray(R, np.float64)
     m00, m11, m22 = R[:, 0, 0], R[:, 1, 1], R[:, 2, 2]
     tr = m00 + m11 + m22
-    # candidate quaternions for each of the four branches, all rows
-    with np.errstate(invalid="ignore"):
-        s0 = 2.0 * np.sqrt(np.maximum(tr + 1.0, 0.0))
-        q0 = np.stack(
-            [s0 / 4,
-             (R[:, 2, 1] - R[:, 1, 2]) / s0,
-             (R[:, 0, 2] - R[:, 2, 0]) / s0,
-             (R[:, 1, 0] - R[:, 0, 1]) / s0], axis=-1)
-        s1 = 2.0 * np.sqrt(np.maximum(1.0 + m00 - m11 - m22, 0.0))
-        q1 = np.stack(
-            [(R[:, 2, 1] - R[:, 1, 2]) / s1,
-             s1 / 4,
-             (R[:, 0, 1] + R[:, 1, 0]) / s1,
-             (R[:, 0, 2] + R[:, 2, 0]) / s1], axis=-1)
-        s2 = 2.0 * np.sqrt(np.maximum(1.0 + m11 - m00 - m22, 0.0))
-        q2 = np.stack(
-            [(R[:, 0, 2] - R[:, 2, 0]) / s2,
-             (R[:, 0, 1] + R[:, 1, 0]) / s2,
-             s2 / 4,
-             (R[:, 1, 2] + R[:, 2, 1]) / s2], axis=-1)
-        s3 = 2.0 * np.sqrt(np.maximum(1.0 + m22 - m00 - m11, 0.0))
-        q3 = np.stack(
-            [(R[:, 1, 0] - R[:, 0, 1]) / s3,
-             (R[:, 0, 2] + R[:, 2, 0]) / s3,
-             (R[:, 1, 2] + R[:, 2, 1]) / s3,
-             s3 / 4], axis=-1)
+    # Candidate quaternions for each of the four branches, all rows. A
+    # branch's denominator is zero exactly when that branch is NOT the
+    # stable one for the row (np.choose discards it below), so clamp the
+    # denominators instead of letting x/0 emit RuntimeWarnings — the
+    # acceptance-metric module must run warning-clean.
+    s0 = np.maximum(2.0 * np.sqrt(np.maximum(tr + 1.0, 0.0)), 1e-30)
+    q0 = np.stack(
+        [s0 / 4,
+         (R[:, 2, 1] - R[:, 1, 2]) / s0,
+         (R[:, 0, 2] - R[:, 2, 0]) / s0,
+         (R[:, 1, 0] - R[:, 0, 1]) / s0], axis=-1)
+    s1 = np.maximum(
+        2.0 * np.sqrt(np.maximum(1.0 + m00 - m11 - m22, 0.0)), 1e-30)
+    q1 = np.stack(
+        [(R[:, 2, 1] - R[:, 1, 2]) / s1,
+         s1 / 4,
+         (R[:, 0, 1] + R[:, 1, 0]) / s1,
+         (R[:, 0, 2] + R[:, 2, 0]) / s1], axis=-1)
+    s2 = np.maximum(
+        2.0 * np.sqrt(np.maximum(1.0 + m11 - m00 - m22, 0.0)), 1e-30)
+    q2 = np.stack(
+        [(R[:, 0, 2] - R[:, 2, 0]) / s2,
+         (R[:, 0, 1] + R[:, 1, 0]) / s2,
+         s2 / 4,
+         (R[:, 1, 2] + R[:, 2, 1]) / s2], axis=-1)
+    s3 = np.maximum(
+        2.0 * np.sqrt(np.maximum(1.0 + m22 - m00 - m11, 0.0)), 1e-30)
+    q3 = np.stack(
+        [(R[:, 1, 0] - R[:, 0, 1]) / s3,
+         (R[:, 0, 2] + R[:, 2, 0]) / s3,
+         (R[:, 1, 2] + R[:, 2, 1]) / s3,
+         s3 / 4], axis=-1)
     branch = np.where(
         tr > 0, 0,
         np.where((m00 > m11) & (m00 > m22), 1, np.where(m11 > m22, 2, 3)),

@@ -11,6 +11,7 @@ on).
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,19 @@ def select_patches(
         return ball_query_blocks(
             pts, pts_mask, kpts, radius, key, patch_sample, d2,
             block=block, cand_blocks=min(cand_blocks, n // block),
+        )
+    if use_blocks:
+        # A silent fallback here once shipped a config that claimed
+        # block_ball_query=True while production ran the flat path
+        # (max_points not divisible by bq_block) — and the two paths have
+        # different cost AND capture behavior. Fail loudly at trace time.
+        warnings.warn(
+            "select_patches: block ball query requested but falling back to "
+            f"the flat path (n={n}, block={block}, cand_blocks={cand_blocks}"
+            f", patch_sample={patch_sample}, d2={'set' if d2 is not None else 'None'}) — "
+            "make capacity.max_points divisible by patch.bq_block and pass "
+            "d2, or set patch.block_ball_query=False explicitly.",
+            stacklevel=2,
         )
     idx, valid = ball_query(
         pts, pts_mask, kpts, radius, key, patch_sample,

@@ -82,13 +82,11 @@ class MiniSpinNet(nn.Module):
         w = ConvBNRelu(1, (1, 1), bn_affine=True, bn_axis_name=ax,
                        compute_dtype=dt)(w, train)
         f = jnp.mean(x * w, axis=(1, 2))                    # [K, 32]
-        # epsilon INSIDE the sqrt: d/df of f/max(||f||, eps) blows up as
-        # 1/||f|| near zero-norm features (all-masked patches / collapsed
-        # attention) — the unbounded gradient was a trainer NaN source.
-        # rsqrt(sum+eps) bounds the jacobian. The accumulation MUST be
-        # f32: in bf16 serving mode the squared norm quantizes to garbage
-        # (8-bit mantissa) and the normalized descriptors lose all
-        # discriminative structure.
+        # ``f`` is f32 here (ConvBNRelu casts back after BN), so the norm
+        # accumulates in f32 even in bf16 serving mode. _safe_unit keeps a
+        # TINY clamp (see its docstring); its 1/||f|| gradient near
+        # zero-norm features is handled by the trainer's guarded update,
+        # not by distorting the forward.
         f = _safe_unit(f)
         equi = _safe_unit(x)
         equi = jnp.transpose(equi, (0, 3, 1, 2))            # [K, C, ele, azi]

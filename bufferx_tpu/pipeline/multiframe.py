@@ -80,9 +80,17 @@ def register_sequence(
     is_aligned: bool = False,
     gn_iters: int = 10,
     use_mesh: bool = False,
+    robust: str | None = "huber",
+    robust_scale: float = 0.3,
 ) -> MultiFrameResult:
     """Registers consecutive frames (+ optional loop closures) and runs
-    pose-graph GN. Returns world-from-frame poses with frame 0 anchored."""
+    pose-graph GN. Returns world-from-frame poses with frame 0 anchored.
+
+    ``robust``/``robust_scale`` configure the pose-graph IRLS kernel
+    (``robust=None`` disables reweighting). The 0.3 default is in
+    chordal-residual units and was tuned on room-scale indoor sequences;
+    outdoor/LiDAR trajectories carry larger residuals and should scale it
+    with the scene (e.g. ~0.1x the typical inter-frame translation)."""
     statics = PipelineStatics.from_config(cfg)
     k = len(clouds)
     prepared = [prepare_cloud(c, cfg, seed=i) for i, c in enumerate(clouds)]
@@ -128,7 +136,7 @@ def register_sequence(
     # (low-overlap loop closures), and un-reweighted GN lets one bad
     # measurement drag every pose
     poses = pose_graph_gauss_newton(
-        graph, init, num_poses=k, num_iters=gn_iters, robust="huber",
-        robust_scale=0.3,
+        graph, init, num_poses=k, num_iters=gn_iters, robust=robust,
+        robust_scale=robust_scale,
     )
     return MultiFrameResult(poses=poses, graph=graph, pair_results=results)

@@ -35,11 +35,17 @@ def process_modelnet40(
     overlap: float = 0.7,
     seed: int = 0,
     objects: list | None = None,
+    names: list | None = None,
 ) -> str:
     """Synthesizes a ModelNet40-style pair benchmark on disk.
 
     ``objects``: optional list of [N, 3] arrays (real ModelNet meshes
-    sampled to points); procedural objects otherwise.
+    sampled to points); procedural objects otherwise. ``names``: optional
+    per-object scene names — when sampling real ModelNet40 shapes, pass
+    ``f"{category}_{id}"`` with categories drawn from the PINNED held-out
+    half (``bufferx_tpu.data.splits.MODELNET40_HALF2_CATEGORIES``,
+    reference ``config/splits/modelnet40_half2.txt``) so the benchmark
+    matches the reference's zero-shot category split.
     """
     rs = np.random.RandomState(seed)
     for oi in range(num_objects):
@@ -48,7 +54,8 @@ def process_modelnet40(
             if objects is not None
             else synthetic_object(rs, num_points)
         )
-        scene = join(out_dir, f"object_{oi:04d}")
+        name = names[oi] if names is not None else f"object_{oi:04d}"
+        scene = join(out_dir, name)
         os.makedirs(scene, exist_ok=True)
         pairs, poses = [], []
         for pi in range(pairs_per_object):
