@@ -45,6 +45,9 @@ def main() -> int:
     ap.add_argument("--chunks", action="store_true",
                     help="sweep capacity.sphere_query_chunk instead of the "
                          "ball-query/filter combos")
+    ap.add_argument("--geom", action="store_true",
+                    help="sweep block-ball-query geometries (block x "
+                         "cand_blocks) against the flat path")
     args = ap.parse_args()
 
     import jax
@@ -105,7 +108,21 @@ def main() -> int:
     keys = jax.random.split(jax.random.PRNGKey(7), B)
 
     # candidates: (name, cfg-overrides, split?)
-    if args.chunks:
+    if args.geom:
+        # Round-4 sweep: the round-3 "blocks32x64" rows were a fallback
+        # artifact (30000 % 32 != 0 silently ran the flat path) — this is
+        # the first honest block-vs-flat ranking at production shapes.
+        # Gather cost scales with cand_blocks (rows/center); bigger blocks
+        # with fewer candidate rows cut both the gather and the level-1
+        # top_k width, at coarser capture granularity.
+        combos = [
+            ("flat", dict(cf=False, bq=False, b=32, c=64), False),
+            ("blocks32x64", dict(cf=False, bq=True, b=32, c=64), False),
+            ("blocks64x32", dict(cf=False, bq=True, b=64, c=32), False),
+            ("blocks64x16", dict(cf=False, bq=True, b=64, c=16), False),
+            ("blocks128x16", dict(cf=False, bq=True, b=128, c=16), False),
+        ]
+    elif args.chunks:
         combos = [
             (f"chunk{sc}", dict(cf=True, bq=True, b=32, c=64, chunk=sc),
              False)
