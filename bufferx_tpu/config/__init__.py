@@ -130,10 +130,15 @@ class PatchConfig:
     # quality delta between the two.
     exact_topk: bool = False
     # two-level block ball query (kernels/neighbors.py:ball_query_blocks):
-    # packed block-row gather + exact in-candidate selection — cheaper on
-    # TPU than the flat per-point gather and captures ALL in-radius points
-    # of sparse patches (supersedes exact_topk's quality edge when on).
-    block_ball_query: bool = True
+    # packed block-row gather + exact in-candidate selection, capturing ALL
+    # in-radius points of sparse patches. OFF by default: the round-4
+    # honest head-to-head (HEADTOHEAD_r4_geom_full.jsonl — the first one
+    # where the block path actually ran at production shapes; round 3's
+    # was a silent fallback to flat) measured every block geometry ~28%
+    # SLOWER than the flat approx path at B=8 full 3-scale (208-212 vs
+    # 165 ms/pair), and every shipped quality gate was measured on the
+    # flat path.
+    block_ball_query: bool = False
     # block geometry: points per block / candidate blocks per center. The
     # gather cost scales with bq_cand_blocks (rows gathered per center)
     # and the level-1 top_k with both knobs; bq_block * bq_cand_blocks is

@@ -45,11 +45,14 @@ def select_patches(
     ``d2``: optional precomputed [K, N] squared keypoint-to-cloud distances
     (shared across scales by the pipeline). ``use_blocks`` selects the
     two-level block ball query (:func:`ball_query_blocks` — one packed
-    block-row gather instead of a per-point row gather, ~2x cheaper on
-    TPU, and exact sparse-patch capture); it requires ``d2`` and falls
-    back to the flat path when the cloud is too small for the block
-    geometry. ``block``/``cand_blocks`` set the block geometry (gather
-    rows per center = ``cand_blocks``; candidate pool = the product)."""
+    block-row gather instead of a per-point row gather, with exact
+    sparse-patch capture); it requires ``d2`` and a cloud size divisible
+    by ``block``. NOTE: at production shapes the block path measured ~28%
+    slower than the flat approx path (HEADTOHEAD_r4_geom_full.jsonl), so
+    it is off by default — it remains available for workloads where the
+    exact-capture property matters more than throughput.
+    ``block``/``cand_blocks`` set the block geometry (gather rows per
+    center = ``cand_blocks``; candidate pool = the product)."""
     n = pts.shape[0]
     if (
         use_blocks

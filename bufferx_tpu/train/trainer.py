@@ -253,8 +253,35 @@ class Trainer:
         self.opt_state = self.optimizer.init(variables["params"])
         self.step_fn = make_train_step(cfg, stage, self.optimizer)
         self.key = jax.random.PRNGKey(cfg.data.manual_seed)
-        self.best_loss = float("inf")
+        # best_loss persists ACROSS runs: a second fine-tune pass starts
+        # against the existing best checkpoint's loss, so a worse run can
+        # never overwrite best.msgpack (the round-3 collapse destroyed a
+        # good checkpoint precisely because best_loss reset to inf here)
+        self.best_loss = self._load_best_meta()
         self.start_epoch = 0
+
+    def _best_meta_path(self) -> str:
+        return os.path.join(self.snapshot_dir, self.stage, "best_meta.json")
+
+    def _load_best_meta(self) -> float:
+        import json
+
+        path = self._best_meta_path()
+        best = os.path.join(self.snapshot_dir, self.stage, "best.msgpack")
+        if os.path.exists(path) and os.path.exists(best):
+            try:
+                with open(path) as f:
+                    return float(json.load(f)["best_loss"])
+            except (OSError, KeyError, ValueError):
+                pass
+        return float("inf")
+
+    def _write_best_meta(self) -> None:
+        import json
+
+        os.makedirs(os.path.dirname(self._best_meta_path()), exist_ok=True)
+        with open(self._best_meta_path(), "w") as f:
+            json.dump({"best_loss": self.best_loss, "stage": self.stage}, f)
 
     def resume(self, path: str | None = None) -> bool:
         """Restore from a full training state; returns True if resumed."""
@@ -283,8 +310,11 @@ class Trainer:
         return m
 
     def train(self, epochs: int | None = None):
+        from bufferx_tpu.train.guard import CollapseGuard
+
         epochs = epochs or self.cfg.train.epoch
         watch = "desc_loss" if self.stage == "Desc" else "match_loss"
+        guard = CollapseGuard(patience=2) if self.stage == "Desc" else None
         for epoch in range(self.start_epoch, epochs):
             meters: dict[str, AverageMeter] = {}
             timer = Timer()
@@ -327,6 +357,25 @@ class Trainer:
                     os.path.join(self.snapshot_dir, self.stage, "best.msgpack"),
                     self.variables,
                 )
+                self._write_best_meta()
+            if guard is not None and guard.update(
+                epoch, {k: v.avg for k, v in meters.items()}, self.variables
+            ):
+                best = os.path.join(
+                    self.snapshot_dir, self.stage, "best.msgpack"
+                )
+                self.log(
+                    f"[{self.stage}] COLLAPSE at epoch {epoch + 1} "
+                    "(contrastive saddle / non-finite streak) — restoring "
+                    "last good state and stopping this stage"
+                )
+                if os.path.exists(best):
+                    self.variables = jax.device_put(
+                        load_params(best, self.variables)
+                    )
+                else:
+                    self.variables = guard.restore(self.variables)
+                break
         return self.variables
 
     def _emit_scalars(self, epoch, meters, val_loss, watch):

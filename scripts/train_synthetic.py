@@ -156,12 +156,19 @@ def main():
 
     def run_stage(stage, variables, frozen, steps, phases):
         """phases: list of (num_steps, pool_knobs-or-None)."""
+        from bufferx_tpu.train.guard import CollapseGuard
+
         opt = make_optimizer(cfg, stage, steps_per_epoch=max(steps // 4, 1))
         step_fn = make_train_step(cfg, stage, opt)
         opt_state = opt.init(variables["params"])
         key = jax.random.PRNGKey(1)
         t0 = time.time()
         gstep = 0
+        # collapse rescue (round-3 postmortem: a fine-tune pass re-entered
+        # the contrastive saddle and destroyed the checkpoint): snapshot
+        # the last healthy state; on sustained saddle, restore it and stop
+        guard = CollapseGuard() if stage == "Desc" else None
+        init_fallback = jax.device_get(variables)
         for pi, (n_steps, knobs) in enumerate(phases):
             batch_pool = make_pool(args.pool, args.seed + 1009 * pi, knobs)
             if knobs:
@@ -191,6 +198,16 @@ def main():
                         + f" ({(time.time() - t0):.0f}s)",
                         flush=True,
                     )
+                    if guard is not None and guard.update(
+                        gstep, md, variables
+                    ):
+                        print(
+                            f"[{stage}] COLLAPSE at step {gstep} "
+                            f"(saddle/non-finite streak); restoring last "
+                            f"good state from step {guard.last_good_step}",
+                            flush=True,
+                        )
+                        return guard.restore(jax.device_put(init_fallback))
                 gstep += 1
             del batch_pool
         return variables

@@ -528,3 +528,107 @@ class TestNaNRecovery:
             _, _, m = step(variables, opt_state, poison_fn(clean),
                            jax.random.PRNGKey(3))
             assert np.isfinite(float(m["loss"]))
+
+
+class TestCollapseGuard:
+    """Round-3 postmortem regression: the contrastive saddle
+    (desc_loss == neg_margin - pos_margin, desc_acc at floor) must trigger
+    a rollback to the last healthy state instead of destroying the run."""
+
+    def _mk(self, **kw):
+        from bufferx_tpu.train.guard import CollapseGuard
+
+        return CollapseGuard(**kw)
+
+    def test_healthy_run_never_triggers(self):
+        g = self._mk(patience=3)
+        v = {"params": jnp.ones(3)}
+        for step in range(20):
+            assert not g.update(
+                step, {"desc_loss": 0.8 - 0.01 * step, "desc_acc": 0.3,
+                       "grads_finite": 1.0}, v
+            )
+        assert g.last_good_step == 19
+
+    def test_saddle_triggers_and_restores_last_good(self):
+        g = self._mk(patience=3)
+        healthy = {"params": jnp.full(3, 7.0)}
+        bad = {"params": jnp.full(3, jnp.nan)}
+        for step in range(5):
+            assert not g.update(
+                step, {"desc_loss": 0.9, "desc_acc": 0.4}, healthy
+            )
+        # collapse: loss pinned at the saddle (1.4 - 0.1), acc at floor
+        fired = False
+        for step in range(5, 12):
+            if g.update(step, {"desc_loss": 1.301, "desc_acc": 0.02}, bad):
+                fired = True
+                break
+        assert fired and g.last_good_step == 4
+        restored = g.restore(fallback=bad)
+        assert bool(jnp.all(restored["params"] == 7.0))
+
+    def test_instant_collapse_restores_fallback(self):
+        g = self._mk(patience=2)
+        bad = {"params": jnp.zeros(2)}
+        init = {"params": jnp.full(2, 5.0)}
+        assert not g.update(0, {"desc_loss": 1.30, "desc_acc": 0.0}, bad)
+        assert g.update(1, {"desc_loss": 1.30, "desc_acc": 0.0}, bad)
+        restored = g.restore(fallback=init)
+        assert bool(jnp.all(restored["params"] == 5.0))
+
+    def test_acc_crash_after_health_triggers(self):
+        g = self._mk(patience=2)
+        v = {"p": jnp.ones(1)}
+        # slow start below the floor does NOT trigger (no prior health)
+        for step in range(6):
+            assert not g.update(
+                step, {"desc_loss": 2.5, "desc_acc": 0.01}, v
+            )
+        # now healthy, then crash (loss NOT at the saddle value)
+        assert not g.update(6, {"desc_loss": 0.7, "desc_acc": 0.5}, v)
+        assert not g.update(7, {"desc_loss": 2.0, "desc_acc": 0.01}, v)
+        assert g.update(8, {"desc_loss": 2.0, "desc_acc": 0.01}, v)
+
+    def test_nonfinite_grads_streak_triggers(self):
+        g = self._mk(patience=2)
+        v = {"p": jnp.ones(1)}
+        assert not g.update(0, {"grads_finite": 0.0}, v)
+        assert g.update(1, {"grads_finite": 0.0}, v)
+
+
+class TestBestMetaPersistence:
+    """A second Trainer run must not overwrite a better best.msgpack."""
+
+    def test_best_loss_survives_reconstruction(self, tmp_path):
+        import json
+        import os
+
+        from bufferx_tpu.train.trainer import Trainer
+
+        cfg = make_cfg("ModelNet40").override(
+            capacity=dict(max_points=1024, sphere_query_chunk=32),
+            patch=dict(num_points_per_patch=64),
+        )
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        snap = str(tmp_path / "snap")
+
+        t1 = Trainer(cfg, "Desc", params["desc"], None, lambda: [],
+                     snapshot_dir=snap, log=lambda *a: None)
+        assert t1.best_loss == float("inf")
+        # simulate a completed run that saved a best checkpoint
+        from bufferx_tpu.train.trainer import save_params
+
+        save_params(os.path.join(snap, "Desc", "best.msgpack"), t1.variables)
+        t1.best_loss = 0.42
+        t1._write_best_meta()
+
+        t2 = Trainer(cfg, "Desc", params["desc"], None, lambda: [],
+                     snapshot_dir=snap, log=lambda *a: None)
+        assert t2.best_loss == 0.42
+
+        # meta without checkpoint -> starts fresh
+        os.remove(os.path.join(snap, "Desc", "best.msgpack"))
+        t3 = Trainer(cfg, "Desc", params["desc"], None, lambda: [],
+                     snapshot_dir=snap, log=lambda *a: None)
+        assert t3.best_loss == float("inf")
