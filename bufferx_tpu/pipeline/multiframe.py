@@ -32,6 +32,7 @@ from bufferx_tpu.pipeline.registration import (
     PipelineStatics,
     prepare_cloud,
     register_pair_jit,
+    register_pairs_batched,
 )
 
 __all__ = ["MultiFrameResult", "build_pose_graph", "register_sequence"]
@@ -82,6 +83,7 @@ def register_sequence(
     use_mesh: bool = False,
     robust: str | None = "huber",
     robust_scale: float = 0.3,
+    batch_size: int = 8,
 ) -> MultiFrameResult:
     """Registers consecutive frames (+ optional loop closures) and runs
     pose-graph GN. Returns world-from-frame poses with frame 0 anchored.
@@ -90,7 +92,16 @@ def register_sequence(
     (``robust=None`` disables reweighting). The 0.3 default is in
     chordal-residual units and was tuned on room-scale indoor sequences;
     outdoor/LiDAR trajectories carry larger residuals and should scale it
-    with the scene (e.g. ~0.1x the typical inter-frame translation)."""
+    with the scene (e.g. ~0.1x the typical inter-frame translation).
+
+    Single-device edge registration goes through the BATCHED two-phase
+    serving path (``register_pairs_batched`` — scale-0 for every batch
+    first, multi-scale re-runs only for unconfident edges), not a B=1
+    loop: the edge list is embarrassingly parallel and the batched
+    program amortizes dispatch + weight traffic (round-3 measured the
+    B=1 loop at 0.64 pairs/s vs 17 pairs/s for the same work batched).
+    ``batch_size=1`` falls back to the per-edge loop (useful on tiny
+    test shapes where the batched program's padding dominates)."""
     statics = PipelineStatics.from_config(cfg)
     k = len(clouds)
     prepared = [prepare_cloud(c, cfg, seed=i) for i, c in enumerate(clouds)]
@@ -116,6 +127,13 @@ def register_sequence(
             results.append(
                 jax.tree.map(lambda x, n=n: x[n], batch_res)
             )
+    elif batch_size > 1:
+        results = register_pairs_batched(
+            cfg,
+            [prepared[i] for i, _ in edges],
+            [prepared[j] for _, j in edges],
+            key, params, is_aligned, batch_size=batch_size,
+        )
     else:
         for n, (i, j) in enumerate(edges):
             key, sub = jax.random.split(key)
