@@ -73,6 +73,13 @@ def main() -> int:
     else:
         cfg = make_cfg("ModelNet40")
         ckpt = os.path.join(here, "snapshot", "synthetic")
+    # architecture knobs recorded with the checkpoint override the guess
+    from bufferx_tpu.train.trainer import load_snapshot_config
+
+    snap_over = load_snapshot_config(ckpt)
+    if snap_over:
+        cfg = cfg.override(patch=snap_over)
+        log(f"snapshot config: {snap_over}")
     statics = PipelineStatics.from_config(cfg)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if os.path.isdir(ckpt):
@@ -174,6 +181,55 @@ def main() -> int:
         f"{b_pps:.3f} pairs/s")
     log(f"sanity RTE batched: median {np.median(rtes_b):.3f} m")
 
+    # MIXED-HARDNESS batched serving: the reference's benchmark
+    # distribution spans 10-90% overlap
+    # (/root/reference/config/threedlomatch_config.py:5-10); full-overlap
+    # pairs never exercise the multi-scale fallback, so this section feeds
+    # the SAME two-phase serving path a hardsynth distribution at overlap
+    # 0.3-0.75 with noise and density mismatch — early exit genuinely
+    # branches (see the scales-used histogram) and the number reported is
+    # an honest mixed-workload throughput.
+    from bufferx_tpu.data.hardsynth import hard_pair
+
+    mixed = []
+    for i in range(NUM_TIMED):
+        rs = np.random.RandomState(1000 + i)
+        s, t, T = hard_pair(
+            rs, family="eval", num_points=24000,
+            overlap_ratio=float(rs.uniform(0.3, 0.75)),
+            noise=float(rs.choice([0.0, 0.00625, 0.0125])),
+            density_ratio=float(rs.choice([1.0, 1.0, 2.0, 4.0])),
+        )
+        mixed.append((prepare_cloud(s, cfg, seed=i),
+                      prepare_cloud(t, cfg, seed=i), T))
+    srcs_m = [p[0] for p in mixed]
+    tgts_m = [p[1] for p in mixed]
+    _ = register_pairs_batched(   # warm the full-scale phase too
+        cfg_ee, srcs_m[:bsz], tgts_m[:bsz], jax.random.PRNGKey(11), params,
+        False, batch_size=bsz,
+    )
+    t0 = time.perf_counter()
+    res_m = register_pairs_batched(
+        cfg_ee, srcs_m, tgts_m, jax.random.PRNGKey(12), params, False,
+        batch_size=bsz,
+    )
+    poses_m = np.stack([np.asarray(r.pose) for r in res_m])
+    elapsed_m = time.perf_counter() - t0
+    m_pps = NUM_TIMED / elapsed_m
+    scales_hist = {}
+    for r in res_m:
+        k = int(r.scales_used)
+        scales_hist[k] = scales_hist.get(k, 0) + 1
+    rtes_m = [
+        float(se3.compute_rte(jnp.asarray(poses_m[i]),
+                              jnp.asarray(mixed[i][2])))
+        for i in range(NUM_TIMED)
+    ]
+    recall_m = float(np.mean([r < 0.3 for r in rtes_m]))
+    log(f"mixed(B={bsz}, overlap 0.3-0.75): {NUM_TIMED} pairs in "
+        f"{elapsed_m:.2f}s -> {m_pps:.3f} pairs/s; "
+        f"scales used {scales_hist}; recall@0.3m {recall_m:.2f}")
+
     # BUFFER-X++ early-exit mode (the reference's headline benchmark
     # configuration): confident pairs stop after scale 0
     from bufferx_tpu.pipeline.registration import register_pair_early_exit
@@ -215,6 +271,12 @@ def main() -> int:
                 "value": round(pairs_per_s, 4),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 4),
+                # honest mixed-hardness serving (overlap 0.3-0.75, noise,
+                # density mismatch): early exit genuinely branches
+                "mixed_pairs_per_s": round(m_pps, 4),
+                "mixed_scales_used": scales_hist,
+                "mixed_recall_rte0.3": round(recall_m, 4),
+                "full_3scale_pairs_per_s": round(full_pps, 4),
             }
         )
     )

@@ -125,6 +125,11 @@ class PatchConfig:
     # one MXU matmul per patch, 16x less HBM traffic; needs a checkpoint
     # trained in the same mode.
     desc_mode: str = "sampled"
+    # descriptor attention-pooling head: "gated" = reference pool_layer
+    # semantics (BN+ReLU gate — can die); "softmax" = round-4 redesign
+    # (bare-logit softmax attention over the cylindrical grid; cannot
+    # die). Baked into the checkpoint like desc_mode.
+    desc_pool: str = "gated"
     # ball-query slot selection: approximate random top-k (cheaper) vs
     # exact. The hard-benchmark gate (scripts/exp_hard.py) quantifies the
     # quality delta between the two.
@@ -145,6 +150,12 @@ class PatchConfig:
     # the candidate-pool width (must be >= num_points_per_patch).
     bq_block: int = 32
     bq_cand_blocks: int = 64
+    # gather-free stratified ball query
+    # (kernels/neighbors.py:ball_query_stratified): strided strips + fused
+    # one-hot selection, no top-k and no row gather. Takes precedence over
+    # block_ball_query; requires capacity.max_points divisible by
+    # num_points_per_patch (30208 = 512 * 59).
+    strat_ball_query: bool = False
 
 
 @dataclass(frozen=True)

@@ -16,7 +16,11 @@ import warnings
 import jax
 import jax.numpy as jnp
 
-from bufferx_tpu.kernels.neighbors import ball_query, ball_query_blocks
+from bufferx_tpu.kernels.neighbors import (
+    ball_query,
+    ball_query_blocks,
+    ball_query_stratified,
+)
 
 __all__ = ["select_patches"]
 
@@ -24,7 +28,8 @@ __all__ = ["select_patches"]
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "patch_sample", "use_approx", "use_blocks", "block", "cand_blocks"
+        "patch_sample", "use_approx", "use_blocks", "block", "cand_blocks",
+        "use_strat",
     ),
 )
 def select_patches(
@@ -39,6 +44,7 @@ def select_patches(
     use_blocks: bool = False,
     block: int = 32,
     cand_blocks: int = 64,
+    use_strat: bool = False,
 ):
     """Returns (patches [K, P, 3] absolute coords, patch_mask [K, P]).
 
@@ -52,8 +58,27 @@ def select_patches(
     it is off by default — it remains available for workloads where the
     exact-capture property matters more than throughput.
     ``block``/``cand_blocks`` set the block geometry (gather rows per
-    center = ``cand_blocks``; candidate pool = the product)."""
+    center = ``cand_blocks``; candidate pool = the product).
+
+    ``use_strat`` selects the gather-free stratified kernel
+    (:func:`ball_query_stratified` — the round-4 production default: the
+    [K, patch_sample]-row coordinate gather the other two paths share is
+    the single largest stage cost in the fused profile); requires ``d2``
+    and ``n % patch_sample == 0``, with the same loud fallback."""
     n = pts.shape[0]
+    if use_strat and d2 is not None and n % patch_sample == 0:
+        return ball_query_stratified(
+            pts, pts_mask, kpts, radius, key, patch_sample, d2
+        )
+    if use_strat:
+        warnings.warn(
+            "select_patches: stratified ball query requested but falling "
+            f"back (n={n}, patch_sample={patch_sample}, "
+            f"d2={'set' if d2 is not None else 'None'}) — make "
+            "capacity.max_points divisible by patch.num_points_per_patch "
+            "and pass d2, or choose another ball-query path explicitly.",
+            stacklevel=2,
+        )
     if (
         use_blocks
         and d2 is not None

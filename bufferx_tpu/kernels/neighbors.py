@@ -34,6 +34,7 @@ __all__ = [
     "mutual_nearest",
     "ball_query",
     "ball_query_blocks",
+    "ball_query_stratified",
 ]
 
 _BIG = jnp.float32(1e30)
@@ -265,5 +266,82 @@ def ball_query_blocks(
     valid = vals > -jnp.inf
     sel = jnp.where(valid, sel, 0)
     patches = jnp.take_along_axis(cand, sel[..., None], axis=1)
+    patches = jnp.where(valid[..., None], patches, centers[:, None, :])
+    return patches, valid
+
+
+@functools.partial(jax.jit, static_argnames=("nsample",))
+def ball_query_stratified(
+    pts: jnp.ndarray,
+    pts_mask: jnp.ndarray,
+    centers: jnp.ndarray,
+    radius: jnp.ndarray,
+    key: jax.Array,
+    nsample: int,
+    d2: jnp.ndarray,
+):
+    """Gather-free stratified ball query returning patch COORDS.
+
+    The round-4 fused-context profile (CUMULATIVE_r4.jsonl) showed patch
+    selection dominating the per-scale cost (~19 ms/pair/scale at B=8):
+    both the flat and the block paths end in a [K, nsample]-row gather
+    (~1.5M rows at production shapes, and TPU gathers cost ~11-17 ns/row
+    regardless of row width). This kernel removes BOTH the top-k and the
+    gather:
+
+    1. The (pre-shuffled) cloud is viewed as ``nsample`` STRIDED strips —
+       strip ``s`` holds points ``{p : p % nsample == s}`` (layout
+       [L, S]: S=nsample on the 128-lane axis, L=N/nsample on sublanes —
+       a pure reshape of the [K, N] distance matrix, no relayout).
+    2. Each strip contributes its first in-radius member in cyclic order
+       from a per-(center, strip) random offset: a masked min-reduce over
+       L (sublanes), no sort.
+    3. Coordinates materialize through a fused one-hot reduction
+       ``patch[k,s,:] = sum_l onehot[k,l,s] * pts[l,s,:]`` — elementwise
+       multiply + reduce that XLA fuses with the selection, replacing the
+       row gather entirely.
+
+    Distribution: strips are uniform random subsets (the cloud arrives
+    shuffled), so one-per-strip selection is STRATIFIED uniform sampling
+    of the in-radius set — for dense balls this has strictly lower
+    variance than the reference's take-first-nsample (same marginal
+    inclusion probability, negative cross-slot correlation). Sparse balls
+    (m in-radius points) capture every point that lands in a distinct
+    strip: expected m - m^2/(2*nsample) of them; slots whose strip has no
+    in-radius member are invalid (center-coord convention), matching the
+    capture profile of ``approx_max_k`` at its shipped recall target.
+
+    Requires ``pts.shape[0] % nsample == 0`` (capacity 30208 = 512 * 59)
+    and the precomputed ``d2`` — callers fall back to :func:`ball_query`
+    otherwise. Returns (patches [K, nsample, 3], valid [K, nsample]).
+    """
+    kq = centers.shape[0]
+    n = pts.shape[0]
+    s = nsample
+    l = n // s
+    r2 = radius * radius
+
+    d2s = d2.reshape(kq, l, s)                      # strip = lane index
+    mask_s = pts_mask.reshape(l, s)
+    in_r = (d2s <= r2) & mask_s[None]               # [K, L, S]
+
+    # per-(center, strip) cyclic rank: first in-radius point at or after a
+    # random start wins. Ranks are unique within a strip, so the winner's
+    # one-hot is exact (no ties).
+    off = jax.random.randint(key, (kq, 1, s), 0, l)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (kq, l, s), 1)
+    rank = pos - off
+    rank = jnp.where(rank < 0, rank + l, rank)      # [K, L, S] in [0, L)
+    score = jnp.where(in_r, rank, l)                # L == "no member"
+    best = jnp.min(score, axis=1, keepdims=True)    # [K, 1, S]
+    valid = best[:, 0, :] < l                       # [K, S]
+    onehot = (score == best) & in_r                 # [K, L, S], one per strip
+
+    pts_s = pts.reshape(l, s, 3)
+    # fused select: [K,L,S,1] * [1,L,S,3] summed over L. f32 exactness
+    # matters (coordinates at mm scale feed the LRF covariance).
+    patches = jnp.sum(
+        onehot[..., None].astype(pts.dtype) * pts_s[None], axis=1
+    )                                               # [K, S, 3]
     patches = jnp.where(valid[..., None], patches, centers[:, None, :])
     return patches, valid

@@ -44,6 +44,21 @@ def _safe_unit(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
 
 
 class MiniSpinNet(nn.Module):
+    """``pool`` selects the attention pooling head:
+
+    - ``"gated"`` — the reference's ``pool_layer`` semantics
+      (``models/patch_embedder.py:32-39``): 32->16->1 convs, BOTH gated
+      through affine BN + ReLU, mean-pooled. The ReLU'd gate can saturate
+      at zero ("dead attention": every cylindrical cell weighted 0, the
+      pooled descriptor collapses) — diagnosed round 3 as a suspect for
+      the low-overlap desc_acc ceiling.
+    - ``"softmax"`` — round-4 redesign: the gate logits come from a BARE
+      1x1 conv (no BN, no ReLU) and normalize through a softmax over the
+      (ele, azi) grid. The attention is a proper distribution: it cannot
+      die, its gradient never vanishes for every cell at once, and the
+      pooled feature is a convex combination of cell features.
+    """
+
     rad_n: int = 3
     ele_n: int = 7
     azi_n: int = 20
@@ -51,6 +66,7 @@ class MiniSpinNet(nn.Module):
     bn_axis_name: str | None = None
     compute_dtype: jnp.dtype = jnp.float32
     mode: str = "sampled"    # "sampled" | "moments"
+    pool: str = "gated"      # "gated" | "softmax"
 
     @nn.compact
     def __call__(self, inv_patches: jnp.ndarray, train: bool = False):
@@ -76,12 +92,20 @@ class MiniSpinNet(nn.Module):
         )(x, train)
         # x: [K, ele, azi, 32]
 
-        # attention pooling (reference pool_layer: 32->16->1, BN affine)
+        # attention pooling (see class docstring for the two designs)
         w = ConvBNRelu(16, (1, 1), bn_affine=True, bn_axis_name=ax,
                        compute_dtype=dt)(x, train)
-        w = ConvBNRelu(1, (1, 1), bn_affine=True, bn_axis_name=ax,
-                       compute_dtype=dt)(w, train)
-        f = jnp.mean(x * w, axis=(1, 2))                    # [K, 32]
+        if self.pool == "softmax":
+            logits = ConvBNRelu(1, (1, 1), use_bn=False, use_relu=False,
+                                compute_dtype=dt)(w, train)
+            att = jax.nn.softmax(
+                logits.reshape(k, -1), axis=-1
+            ).reshape(logits.shape)
+            f = jnp.sum(x * att, axis=(1, 2))               # [K, 32]
+        else:
+            w = ConvBNRelu(1, (1, 1), bn_affine=True, bn_axis_name=ax,
+                           compute_dtype=dt)(w, train)
+            f = jnp.mean(x * w, axis=(1, 2))                # [K, 32]
         # ``f`` is f32 here (ConvBNRelu casts back after BN), so the norm
         # accumulates in f32 even in bf16 serving mode. _safe_unit keeps a
         # TINY clamp (see its docstring); its 1/||f|| gradient near

@@ -109,11 +109,13 @@ class PipelineStatics:
     kiss_resolution: float
     use_bf16: bool = True   # conv stacks in bfloat16 at inference (MXU 2x)
     desc_mode: str = "sampled"   # cell pooling: "sampled" | "moments"
+    desc_pool: str = "gated"     # attention head: "gated" | "softmax"
     exact_topk: bool = False     # exact ball-query slot selection
     clutter_filter: bool = False  # density prefilter (kernels/density.py)
     block_ball_query: bool = True  # two-level block ball query
     bq_block: int = 32             # points per block (block ball query)
     bq_cand_blocks: int = 64       # candidate blocks per center
+    strat_ball_query: bool = False  # gather-free stratified ball query
 
     @classmethod
     def from_config(cls, cfg: Config) -> "PipelineStatics":
@@ -145,11 +147,13 @@ class PipelineStatics:
             early_exit_min_inliers=cfg.match.early_exit_min_inliers,
             kiss_resolution=cfg.match.kiss_resolution,
             desc_mode=cfg.patch.desc_mode,
+            desc_pool=cfg.patch.desc_pool,
             exact_topk=cfg.patch.exact_topk,
             clutter_filter=cfg.data.clutter_filter,
             block_ball_query=cfg.patch.block_ball_query,
             bq_block=cfg.patch.bq_block,
             bq_cand_blocks=cfg.patch.bq_cand_blocks,
+            strat_ball_query=cfg.patch.strat_ball_query,
         )
 
 
@@ -160,6 +164,7 @@ def build_models(cfg: Config, bn_axis_name: str | None = None):
         azi_n=cfg.patch.azi_n,
         bn_axis_name=bn_axis_name,
         mode=cfg.patch.desc_mode,
+        pool=cfg.patch.desc_pool,
     )
     pose = CostVolume(azi_n=cfg.patch.azi_n, bn_axis_name=bn_axis_name)
     return desc, pose
@@ -244,12 +249,14 @@ def _embed_two(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
         use_approx=not statics.exact_topk, d2=d2_src,
         use_blocks=statics.block_ball_query,
         block=statics.bq_block, cand_blocks=statics.bq_cand_blocks,
+        use_strat=statics.strat_ball_query,
     )
     tp, tm = select_patches(
         tgt.xyz, tgt.mask, tgt_kpts, des_r, ks2, statics.patch_sample,
         use_approx=not statics.exact_topk, d2=d2_tgt,
         use_blocks=statics.block_ball_query,
         block=statics.bq_block, cand_blocks=statics.bq_cand_blocks,
+        use_strat=statics.strat_ball_query,
     )
     patches = jnp.concatenate([sp, tp])
     pmask = jnp.concatenate([sm, tm])
@@ -478,7 +485,7 @@ def _models_from_statics(statics: PipelineStatics):
     dt = jnp.bfloat16 if statics.use_bf16 else jnp.float32
     desc = MiniSpinNet(
         rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
-        compute_dtype=dt, mode=statics.desc_mode,
+        compute_dtype=dt, mode=statics.desc_mode, pool=statics.desc_pool,
     )
     pose = CostVolume(azi_n=statics.azi_n, compute_dtype=dt)
     return desc, pose

@@ -34,7 +34,44 @@ from bufferx_tpu.utils.timers import AverageMeter, Timer
 
 __all__ = ["make_optimizer", "make_train_step", "Trainer", "save_params",
            "load_params", "compose_staged_params", "save_train_state",
-           "restore_train_state"]
+           "restore_train_state", "save_snapshot_config",
+           "load_snapshot_config"]
+
+
+def save_snapshot_config(snapshot_dir: str, cfg: Config) -> str:
+    """Record the architecture knobs a checkpoint was trained with.
+
+    ``desc_mode`` (cell pooling) and ``desc_pool`` (attention head) change
+    the parameter TREE, so a checkpoint is only loadable into a model
+    built with the same values — serving entry points read this file
+    instead of guessing from snapshot names.
+    """
+    import json
+
+    os.makedirs(snapshot_dir, exist_ok=True)
+    path = os.path.join(snapshot_dir, "config.json")
+    with open(path, "w") as f:
+        json.dump(
+            {"desc_mode": cfg.patch.desc_mode,
+             "desc_pool": cfg.patch.desc_pool}, f,
+        )
+    return path
+
+
+def load_snapshot_config(snapshot_dir: str) -> dict:
+    """Patch-config overrides recorded next to a snapshot ({} if none —
+    pre-round-4 snapshots default to desc_pool='gated')."""
+    import json
+
+    path = os.path.join(snapshot_dir, "config.json")
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as f:
+            got = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return {k: got[k] for k in ("desc_mode", "desc_pool") if k in got}
 
 
 def make_optimizer(cfg: Config, stage: str, steps_per_epoch: int):

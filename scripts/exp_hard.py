@@ -74,6 +74,8 @@ def main() -> int:
     ap.add_argument("--exact-topk", action="store_true")
     ap.add_argument("--no-block-ball-query", action="store_true",
                     help="flat ball query instead of the two-level blocks")
+    ap.add_argument("--strat", action="store_true",
+                    help="stratified (gather-free) ball query")
     ap.add_argument("--no-clutter-filter", action="store_true",
                     help="disable the density clutter prefilter")
     ap.add_argument("--quick", action="store_true",
@@ -117,9 +119,19 @@ def main() -> int:
             block_ball_query=(
                 False if args.exact_topk else not args.no_block_ball_query
             ),
+            strat_ball_query=args.strat,
         ),
         test=dict(pose_refine=True),
     )
+    # architecture knobs travel with the checkpoint (desc_pool/desc_mode
+    # change the param tree)
+    if args.checkpoint_dir and os.path.isdir(args.checkpoint_dir):
+        from bufferx_tpu.train.trainer import load_snapshot_config
+
+        snap_over = load_snapshot_config(args.checkpoint_dir)
+        if snap_over:
+            cfg = cfg.override(patch=snap_over)
+            log(f"snapshot config: {snap_over}")
     if args.no_clutter_filter:
         cfg = cfg.override(data=dict(clutter_filter=False))
     if args.quick:

@@ -117,10 +117,9 @@ def main() -> int:
         # top_k width, at coarser capture granularity.
         combos = [
             ("flat", dict(cf=False, bq=False, b=32, c=64), False),
+            ("stratified", dict(cf=False, bq=False, b=32, c=64, st=True),
+             False),
             ("blocks32x64", dict(cf=False, bq=True, b=32, c=64), False),
-            ("blocks64x32", dict(cf=False, bq=True, b=64, c=32), False),
-            ("blocks64x16", dict(cf=False, bq=True, b=64, c=16), False),
-            ("blocks128x16", dict(cf=False, bq=True, b=128, c=16), False),
         ]
     elif args.chunks:
         combos = [
@@ -145,7 +144,8 @@ def main() -> int:
         cfg = base.override(
             data=dict(clutter_filter=o["cf"]),
             patch=dict(block_ball_query=o["bq"], bq_block=o["b"],
-                       bq_cand_blocks=o["c"]),
+                       bq_cand_blocks=o["c"],
+                       strat_ball_query=o.get("st", False)),
         )
         if "chunk" in o:
             cfg = cfg.override(capacity=dict(sphere_query_chunk=o["chunk"]))

@@ -31,17 +31,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # hard_training_stream arguments). The last phase sits AT the gate's hard
 # operating point (overlap 0.1-0.6 spans the 3DLoMatch 10-30% regime).
 CURRICULUM = [
-    dict(frac=0.15, overlap_range=(0.5, 0.9), noise_range=(0.0, 0.5),
+    dict(frac=0.12, overlap_range=(0.5, 0.9), noise_range=(0.0, 0.5),
          density_choices=(1.0, 1.0, 2.0), clutter_choices=(0.0, 0.0)),
-    dict(frac=0.2, overlap_range=(0.35, 0.8), noise_range=(0.0, 0.8),
+    dict(frac=0.18, overlap_range=(0.35, 0.8), noise_range=(0.0, 0.8),
          density_choices=(1.0, 1.0, 2.0, 4.0),
          clutter_choices=(0.0, 0.0, 0.05)),
-    dict(frac=0.3, overlap_range=(0.2, 0.7), noise_range=(0.0, 1.0),
+    dict(frac=0.25, overlap_range=(0.2, 0.7), noise_range=(0.0, 1.0),
          density_choices=(1.0, 1.0, 2.0, 4.0, 8.0),
          clutter_choices=(0.0, 0.0, 0.05, 0.1)),
-    dict(frac=0.35, overlap_range=(0.1, 0.6), noise_range=(0.0, 1.2),
+    dict(frac=0.25, overlap_range=(0.1, 0.6), noise_range=(0.0, 1.2),
          density_choices=(1.0, 2.0, 4.0, 8.0, 10.0),
          clutter_choices=(0.0, 0.05, 0.1, 0.2)),
+    # round-4 low-overlap tail: the gate's open frontier is the
+    # 0.1-0.3-overlap band (3DLoMatch's operating point), so the final
+    # quarter of the schedule trains EXACTLY there
+    dict(frac=0.2, overlap_range=(0.1, 0.35), noise_range=(0.0, 1.0),
+         density_choices=(1.0, 1.0, 2.0, 4.0),
+         clutter_choices=(0.0, 0.0, 0.05, 0.1)),
 ]
 
 
@@ -55,6 +61,10 @@ def main():
     ap.add_argument("--num-points", type=int, default=4000)
     ap.add_argument("--desc-mode", default="sampled",
                     choices=["sampled", "moments"])
+    ap.add_argument("--desc-pool", default="gated",
+                    choices=["gated", "softmax"],
+                    help="attention pooling head (softmax = round-4 "
+                         "non-dying redesign)")
     ap.add_argument("--hard", action="store_true",
                     help="hetero-robust stream: hard_training_stream "
                          "(randomized overlap/noise/density/clutter on the "
@@ -92,7 +102,8 @@ def main():
 
     cfg = make_cfg("ModelNet40").override(
         capacity=dict(max_points=4096, sphere_query_chunk=128),
-        patch=dict(num_points_per_patch=256, desc_mode=args.desc_mode),
+        patch=dict(num_points_per_patch=256, desc_mode=args.desc_mode,
+                   desc_pool=args.desc_pool),
         train=dict(pos_num=256),
     )
     if args.lr_scale != 1.0:
@@ -117,6 +128,9 @@ def main():
         print(f"initialized from {args.init_from}", flush=True)
 
     os.makedirs(args.out, exist_ok=True)
+    from bufferx_tpu.train.trainer import save_snapshot_config
+
+    save_snapshot_config(args.out, cfg)
     scalars_f = open(os.path.join(args.out, "scalars.jsonl"), "a")
 
     def emit(stage, step, metrics, elapsed):

@@ -358,3 +358,126 @@ class TestBallQueryBlocks:
         for i in range(len(kpts)):
             for p in patches[i][valid[i]]:
                 assert tuple(p) in allowed
+
+
+class TestStratifiedBallQuery:
+    """Gather-free stratified ball query (kernels/neighbors.py)."""
+
+    def _d2(self, centers, pts, pts_mask):
+        d = neighbors.masked_sqdist(
+            jnp.asarray(centers), jnp.asarray(pts),
+            jnp.ones(len(centers), bool), jnp.asarray(pts_mask),
+        )
+        return d
+
+    def test_within_radius_and_coords_exact(self, rng):
+        pts = rng.randn(512, 3).astype(np.float32)
+        centers = pts[:8]
+        mask = np.ones(512, bool)
+        r = jnp.float32(0.7)
+        patches, valid = neighbors.ball_query_stratified(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(centers), r,
+            jax.random.PRNGKey(0), 64, self._d2(centers, pts, mask),
+        )
+        patches, valid = np.asarray(patches), np.asarray(valid)
+        pts_set = {tuple(np.round(p, 6)) for p in pts}
+        for k in range(8):
+            got = patches[k][valid[k]]
+            d = np.linalg.norm(got - centers[k], axis=-1)
+            assert np.all(d <= 0.7 + 1e-5)
+            assert valid[k].sum() >= 1  # the center itself is in radius
+            # the one-hot reduction must reproduce coordinates EXACTLY
+            for p in got:
+                assert tuple(np.round(p, 6)) in pts_set
+            # invalid slots carry the center's own coordinates
+            inval = patches[k][~valid[k]]
+            if len(inval):
+                np.testing.assert_allclose(
+                    inval, np.broadcast_to(centers[k], inval.shape), atol=0
+                )
+
+    def test_empty_ball(self, rng):
+        pts = rng.randn(128, 3).astype(np.float32)
+        centers = np.full((2, 3), 50.0, np.float32)
+        mask = np.ones(128, bool)
+        patches, valid = neighbors.ball_query_stratified(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(centers),
+            jnp.float32(0.5), jax.random.PRNGKey(0), 16,
+            self._d2(centers, pts, mask),
+        )
+        assert not np.any(np.asarray(valid))
+        np.testing.assert_allclose(
+            np.asarray(patches), np.broadcast_to(centers[:, None], (2, 16, 3))
+        )
+
+    def test_respects_point_mask(self, rng):
+        pts = rng.randn(256, 3).astype(np.float32) * 0.1
+        mask = np.zeros(256, bool)
+        mask[:64] = True  # only the first 64 are real
+        centers = np.zeros((1, 3), np.float32)
+        patches, valid = neighbors.ball_query_stratified(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(centers),
+            jnp.float32(1.0), jax.random.PRNGKey(2), 32,
+            self._d2(centers, pts, mask),
+        )
+        got = np.asarray(patches)[0][np.asarray(valid)[0]]
+        real = {tuple(np.round(p, 6)) for p in pts[:64]}
+        for p in got:
+            assert tuple(np.round(p, 6)) in real
+
+    def test_stratified_is_a_spread_sample(self, rng):
+        # dense ball: selection spans the radius, is not nearest-biased,
+        # and fills every slot (every strip has in-radius members)
+        pts = (rng.rand(4096, 3).astype(np.float32) - 0.5) * 2.0
+        centers = np.zeros((1, 3), np.float32)
+        mask = np.ones(4096, bool)
+        patches, valid = neighbors.ball_query_stratified(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(centers),
+            jnp.float32(0.9), jax.random.PRNGKey(1), 64,
+            self._d2(centers, pts, mask),
+        )
+        valid = np.asarray(valid)
+        assert valid.all()
+        d = np.linalg.norm(np.asarray(patches)[0], axis=-1)
+        assert d.max() > 0.6
+        assert d.min() < 0.3
+
+    def test_selection_randomizes_with_key(self, rng):
+        pts = (rng.rand(1024, 3).astype(np.float32) - 0.5) * 2.0
+        centers = np.zeros((1, 3), np.float32)
+        mask = np.ones(1024, bool)
+        d2 = self._d2(centers, pts, mask)
+        p1, _ = neighbors.ball_query_stratified(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(centers),
+            jnp.float32(0.9), jax.random.PRNGKey(1), 32, d2)
+        p2, _ = neighbors.ball_query_stratified(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(centers),
+            jnp.float32(0.9), jax.random.PRNGKey(2), 32, d2)
+        assert not np.allclose(np.asarray(p1), np.asarray(p2))
+
+    def test_select_patches_dispatch_and_fallback(self, rng):
+        from bufferx_tpu.geometry.patches import select_patches
+
+        pts = rng.randn(512, 3).astype(np.float32)
+        mask = np.ones(512, bool)
+        centers = pts[:4]
+        d2 = self._d2(centers, pts, mask)
+        # divisible: stratified path, coords exact
+        p, v = select_patches(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(centers),
+            jnp.float32(0.8), jax.random.PRNGKey(0), 64, d2=d2,
+            use_strat=True,
+        )
+        assert p.shape == (4, 64, 3)
+        # non-divisible: loud fallback to the flat path
+        import warnings as _w
+
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            p2, v2 = select_patches(
+                jnp.asarray(pts[:500]), jnp.asarray(mask[:500]),
+                jnp.asarray(centers), jnp.float32(0.8),
+                jax.random.PRNGKey(0), 64, d2=d2[:, :500], use_strat=True,
+            )
+        assert any("stratified" in str(w.message) for w in rec)
+        assert p2.shape == (4, 64, 3)

@@ -91,3 +91,61 @@ class TestCostVolume:
         g = jax.grad(loss)(variables["params"])
         total = sum(np.abs(np.asarray(x)).sum() for x in jax.tree.leaves(g))
         assert total > 0
+
+
+class TestSoftmaxPool:
+    """Round-4 pool redesign: softmax attention cannot die."""
+
+    def test_forward_and_tree_shape(self, rng=None):
+        import numpy as np
+
+        from bufferx_tpu.models.spinnet import MiniSpinNet
+
+        net = MiniSpinNet(rad_n=3, ele_n=5, azi_n=8, mode="moments",
+                          pool="softmax")
+        x = jnp.asarray(np.random.RandomState(0).randn(3, 3 * 5 * 8, 10),
+                        jnp.float32)
+        variables = net.init(jax.random.PRNGKey(0), x, train=False)
+        out = net.apply(variables, x, train=False)
+        assert out["desc"].shape == (3, 32)
+        assert out["equi"].shape == (3, 32, 5, 8)
+        # descriptors unit-norm and finite
+        n = jnp.linalg.norm(out["desc"], axis=-1)
+        assert bool(jnp.all(jnp.isfinite(out["desc"])))
+        assert bool(jnp.all(jnp.abs(n - 1.0) < 1e-4))
+        # the logits head is BARE: its ConvBNRelu must carry no BatchNorm
+        p = variables["params"]
+        assert "BatchNorm_0" not in p["ConvBNRelu_2"], (
+            "softmax pool logits must not pass through BN"
+        )
+
+    def test_gated_pool_can_die_softmax_cannot(self):
+        """With pathological gate weights, the gated pool zeroes every
+        cell (degenerate pooled features); softmax still yields a convex
+        combination of cell features."""
+        import numpy as np
+
+        from bufferx_tpu.models.spinnet import MiniSpinNet
+
+        rs = np.random.RandomState(1)
+        x = jnp.asarray(rs.randn(2, 3 * 5 * 8, 10), jnp.float32)
+        for pool in ("gated", "softmax"):
+            net = MiniSpinNet(rad_n=3, ele_n=5, azi_n=8, mode="moments",
+                              pool=pool)
+            variables = net.init(jax.random.PRNGKey(0), x, train=False)
+            # drive the gate conv bias very negative -> ReLU kills the
+            # gated attention everywhere; softmax renormalizes instead
+            p = jax.tree.map(lambda v: v, variables["params"])
+            last = p["ConvBNRelu_2"]
+            last["Conv_0"]["bias"] = last["Conv_0"]["bias"] - 100.0
+            out = net.apply({**variables, "params": p}, x, train=False)
+            pre_norm_dead = bool(
+                jnp.all(jnp.abs(out["desc"]) < 1.0) and
+                jnp.all(jnp.isfinite(out["desc"]))
+            )
+            assert pre_norm_dead  # both stay finite (the _safe_unit clamp)
+            if pool == "softmax":
+                # attention renormalizes: descriptors remain unit-norm and
+                # genuinely feature-dependent (distinct across patches)
+                d = out["desc"]
+                assert float(jnp.linalg.norm(d[0] - d[1])) > 1e-3
