@@ -155,7 +155,17 @@ class PatchConfig:
     # one-hot selection, no top-k and no row gather. Takes precedence over
     # block_ball_query; requires capacity.max_points divisible by
     # num_points_per_patch (30208 = 512 * 59).
-    strat_ball_query: bool = False
+    # DEFAULT ON (round 4): 164.7 -> 104.3 ms/pair at B=8 full 3-scale
+    # (HEADTOHEAD_r4_strat_full.jsonl) with hard-gate quality parity
+    # (GATE_r04_strat.jsonl mean 0.586 vs flat 0.598 — within cell noise
+    # at 50 pairs/cell, per-cell diffs mixed-sign).
+    strat_ball_query: bool = True
+    # radius-estimation point-column stride (kernels/radius.py): the 12
+    # bisection rounds re-read the [probes, points] matrix, which
+    # dominates the precompute stage's HBM traffic; estimating over a
+    # strided (= uniform random, clouds are pre-shuffled) subset leaves
+    # the 1-cm-rounded estimate unchanged to well within its own noise.
+    radius_subsample: int = 4
 
 
 @dataclass(frozen=True)

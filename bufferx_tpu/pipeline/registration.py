@@ -116,6 +116,7 @@ class PipelineStatics:
     bq_block: int = 32             # points per block (block ball query)
     bq_cand_blocks: int = 64       # candidate blocks per center
     strat_ball_query: bool = False  # gather-free stratified ball query
+    radius_subsample: int = 1       # point-column stride in radius est.
 
     @classmethod
     def from_config(cls, cfg: Config) -> "PipelineStatics":
@@ -154,6 +155,7 @@ class PipelineStatics:
             bq_block=cfg.patch.bq_block,
             bq_cand_blocks=cfg.patch.bq_cand_blocks,
             strat_ball_query=cfg.patch.strat_ball_query,
+            radius_subsample=cfg.patch.radius_subsample,
         )
 
 
@@ -358,6 +360,7 @@ def _precompute(statics: PipelineStatics, src: Cloud, tgt: Cloud) -> _Shared:
     radii = density_aware_radius_from_d2(
         jnp.where(use_src, d2_src, d2_tgt), pts_m, probes_m,
         thresholds=statics.thresholds, max_r=statics.radius_max,
+        subsample=statics.radius_subsample,
     )
     nf = statics.num_fps
     return _Shared(

@@ -75,7 +75,9 @@ def main() -> int:
     ap.add_argument("--no-block-ball-query", action="store_true",
                     help="flat ball query instead of the two-level blocks")
     ap.add_argument("--strat", action="store_true",
-                    help="stratified (gather-free) ball query")
+                    help="(default on) stratified gather-free ball query")
+    ap.add_argument("--no-strat", action="store_true",
+                    help="force the flat/block ball query instead")
     ap.add_argument("--no-clutter-filter", action="store_true",
                     help="disable the density clutter prefilter")
     ap.add_argument("--quick", action="store_true",
@@ -119,7 +121,7 @@ def main() -> int:
             block_ball_query=(
                 False if args.exact_topk else not args.no_block_ball_query
             ),
-            strat_ball_query=args.strat,
+            strat_ball_query=not args.no_strat,
         ),
         test=dict(pose_refine=True),
     )
@@ -139,7 +141,7 @@ def main() -> int:
             capacity=dict(max_points=4096, num_ransac_hypotheses=1024,
                           ransac_chunk=256, sphere_query_chunk=64),
             patch=dict(num_fps=384, num_points_radius_estimate=384,
-                       num_points_per_patch=192),
+                       num_points_per_patch=256),
         )
         args.num_points = min(args.num_points, 4096)
         args.pairs_per_cell = min(args.pairs_per_cell, args.batch)

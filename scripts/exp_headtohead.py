@@ -75,7 +75,7 @@ def main() -> int:
             capacity=dict(max_points=4096, num_ransac_hypotheses=1024,
                           ransac_chunk=256, sphere_query_chunk=64),
             patch=dict(num_fps=384, num_points_radius_estimate=384,
-                       num_points_per_patch=192),
+                       num_points_per_patch=256),
         )
     params = init_params(base, jax.random.PRNGKey(0))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

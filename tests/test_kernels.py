@@ -481,3 +481,25 @@ class TestStratifiedBallQuery:
             )
         assert any("stratified" in str(w.message) for w in rec)
         assert p2.shape == (4, 64, 3)
+
+
+def test_radius_subsample_matches_full(rng=None):
+    """Stride-4 quantile estimation stays within the estimate's own 1-cm
+    rounding of the full computation on a production-like cloud."""
+    from bufferx_tpu.kernels.neighbors import masked_sqdist
+    from bufferx_tpu.kernels.radius import density_aware_radius_from_d2
+
+    rs = np.random.RandomState(3)
+    pts = rs.randn(8192, 3).astype(np.float32)
+    kpts = pts[rs.choice(8192, 512, replace=False)]
+    mask = np.ones(8192, bool)
+    kmask = np.ones(512, bool)
+    d2 = masked_sqdist(jnp.asarray(kpts), jnp.asarray(pts),
+                       jnp.asarray(kmask), jnp.asarray(mask))
+    full = density_aware_radius_from_d2(
+        d2, jnp.asarray(mask), jnp.asarray(kmask),
+        thresholds=(5.0, 2.0, 0.5), max_r=5.0, subsample=1)
+    sub = density_aware_radius_from_d2(
+        d2, jnp.asarray(mask), jnp.asarray(kmask),
+        thresholds=(5.0, 2.0, 0.5), max_r=5.0, subsample=4)
+    np.testing.assert_allclose(np.asarray(sub), np.asarray(full), atol=0.021)

@@ -149,3 +149,52 @@ class TestSoftmaxPool:
                 # genuinely feature-dependent (distinct across patches)
                 d = out["desc"]
                 assert float(jnp.linalg.norm(d[0] - d[1])) > 1e-3
+
+
+class TestFactoredCostVolume:
+    """The Toeplitz-factored CostNet stem must match the direct cost-volume
+    conv exactly (same math, same parameter tree)."""
+
+    def test_matches_naive_and_shares_tree(self):
+        import numpy as np
+
+        from bufferx_tpu.models.heads import CostVolume
+
+        rs = np.random.RandomState(0)
+        d1 = jnp.asarray(rs.randn(3, 32, 5, 20), jnp.float32)
+        d2 = jnp.asarray(rs.randn(3, 32, 5, 20), jnp.float32)
+
+        naive = CostVolume(azi_n=20, factored=False)
+        fact = CostVolume(azi_n=20, factored=True)
+        variables = naive.init(jax.random.PRNGKey(0), d1, d2, train=False)
+        v2 = fact.init(jax.random.PRNGKey(0), d1, d2, train=False)
+        # identical parameter trees -> checkpoints are interchangeable
+        assert jax.tree.structure(variables) == jax.tree.structure(v2)
+        for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(v2)):
+            assert a.shape == b.shape
+
+        out_n = naive.apply(variables, d1, d2, train=False)
+        out_f = fact.apply(variables, d1, d2, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_n), atol=2e-4
+        )
+
+    def test_matches_in_train_mode_with_stats(self):
+        import numpy as np
+
+        from bufferx_tpu.models.heads import CostVolume
+
+        rs = np.random.RandomState(1)
+        d1 = jnp.asarray(rs.randn(2, 32, 5, 20), jnp.float32)
+        d2 = jnp.asarray(rs.randn(2, 32, 5, 20), jnp.float32)
+        naive = CostVolume(azi_n=20, factored=False)
+        fact = CostVolume(azi_n=20, factored=True)
+        variables = naive.init(jax.random.PRNGKey(0), d1, d2, train=False)
+        on, sn = naive.apply(variables, d1, d2, train=True,
+                             mutable=["batch_stats"])
+        of, sf = fact.apply(variables, d1, d2, train=True,
+                            mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(of), np.asarray(on), atol=2e-4)
+        for a, b in zip(jax.tree.leaves(sn), jax.tree.leaves(sf)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-5)
