@@ -166,6 +166,13 @@ class PatchConfig:
     # strided (= uniform random, clouds are pre-shuffled) subset leaves
     # the 1-cm-rounded estimate unchanged to well within its own noise.
     radius_subsample: int = 4
+    # batch the multi-scale candidate chains through ONE traced body
+    # (vmap over the radius index): scales run identical programs that
+    # differ only in radius, so batching them 3x's the conv/matmul batch
+    # (better MXU utilization at these small spatial dims), loads model
+    # weights once, and shares the d2 reads across the three patch
+    # selections. False = round-1..3 statically unrolled per-scale chain.
+    vmap_scales: bool = True
 
 
 @dataclass(frozen=True)

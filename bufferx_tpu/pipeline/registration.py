@@ -117,6 +117,7 @@ class PipelineStatics:
     bq_cand_blocks: int = 64       # candidate blocks per center
     strat_ball_query: bool = False  # gather-free stratified ball query
     radius_subsample: int = 1       # point-column stride in radius est.
+    vmap_scales: bool = True        # batch the scales through one chain
 
     @classmethod
     def from_config(cls, cfg: Config) -> "PipelineStatics":
@@ -156,6 +157,7 @@ class PipelineStatics:
             bq_cand_blocks=cfg.patch.bq_cand_blocks,
             strat_ball_query=cfg.patch.strat_ball_query,
             radius_subsample=cfg.patch.radius_subsample,
+            vmap_scales=cfg.patch.vmap_scales,
         )
 
 
@@ -372,10 +374,13 @@ def _precompute(statics: PipelineStatics, src: Cloud, tgt: Cloud) -> _Shared:
 
 
 def _scale_candidates(params, statics: PipelineStatics, src: Cloud,
-                      tgt: Cloud, pre: _Shared, scale: int, is_aligned,
+                      tgt: Cloud, pre: _Shared, scale, is_aligned,
                       key, desc_model, pose_model) -> _Candidates:
     """One scale: embed both clouds in ONE model call (halves conv weight
-    traffic and per-call overheads), match, predict SO(2), pose candidates."""
+    traffic and per-call overheads), match, predict SO(2), pose candidates.
+
+    ``scale`` may be a static int or a traced scalar index (the
+    scale-vmapped path maps this function over a radius-index vector)."""
     des_r = jnp.maximum(pre.radii[scale], 1e-3)
     nf = statics.num_fps
     # patch extraction sees the SAME validity as FPS/d2 (the clutter
@@ -416,6 +421,43 @@ def _scale_candidates(params, statics: PipelineStatics, src: Cloud,
 
 def _cat_candidates(cands: list) -> _Candidates:
     return _Candidates(*(jnp.concatenate(xs) for xs in zip(*cands)))
+
+
+def _all_scale_candidates(params, statics: PipelineStatics, src: Cloud,
+                          tgt: Cloud, pre: _Shared, scales: tuple,
+                          is_aligned, keys, desc_model,
+                          pose_model) -> list:
+    """Candidates for every scale in ``scales`` — scale-VMAPPED by default.
+
+    The scales run identical programs that differ only in the descriptor
+    radius, so mapping ONE traced body over a radius-index vector batches
+    the whole embed/match/head chain 3x: conv matmuls triple their batch
+    (better MXU utilization at these small spatial dims), model weights
+    load once instead of per scale, and the shared d2 matrix feeds all
+    three patch selections in one pass. ``vmap_scales=False`` falls back
+    to the statically unrolled per-scale chain (the round-1..3 design).
+    Returns a list of per-scale :class:`_Candidates` (leading axis
+    sliced), so downstream early-exit/consensus logic is unchanged.
+    """
+    if not statics.vmap_scales or len(scales) == 1:
+        return [
+            _scale_candidates(
+                params, statics, src, tgt, pre, s, is_aligned,
+                keys[j], desc_model, pose_model,
+            )
+            for j, s in enumerate(scales)
+        ]
+    idx = jnp.asarray(scales, jnp.int32)
+    stacked = jax.vmap(
+        lambda s, k: _scale_candidates(
+            params, statics, src, tgt, pre, s, is_aligned, k,
+            desc_model, pose_model,
+        )
+    )(idx, jnp.stack(keys[: len(scales)]))
+    return [
+        jax.tree.map(lambda x, j=j: x[j], stacked)
+        for j in range(len(scales))
+    ]
 
 
 def _pool_and_solve(statics: PipelineStatics, cand: _Candidates, key,
@@ -471,13 +513,11 @@ def _register_impl(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
     desc_model, pose_model = _models_from_statics(statics)
     keys = jax.random.split(key, 4 + 2 * len(scales))
     pre = _precompute(statics, src, tgt)
-    cands = [
-        _scale_candidates(
-            params, statics, src, tgt, pre, i, is_aligned,
-            keys[4 + 2 * j], desc_model, pose_model,
-        )
-        for j, i in enumerate(scales)
-    ]
+    cands = _all_scale_candidates(
+        params, statics, src, tgt, pre, scales, is_aligned,
+        [keys[4 + 2 * j] for j in range(len(scales))],
+        desc_model, pose_model,
+    )
     return _pool_and_solve(
         statics, _cat_candidates(cands), keys[0], src, tgt, len(scales)
     )
@@ -514,13 +554,11 @@ def register_pair_jit(
         desc_model, pose_model = _models_from_statics(statics)
         keys = jax.random.split(key, 4 + 2 * len(scales))
         pre = _precompute(statics, src, tgt)
-        cands = [
-            _scale_candidates(
-                params, statics, src, tgt, pre, i, is_aligned,
-                keys[4 + 2 * j], desc_model, pose_model,
-            )
-            for j, i in enumerate(scales)
-        ]
+        cands = _all_scale_candidates(
+            params, statics, src, tgt, pre, scales, is_aligned,
+            [keys[4 + 2 * j] for j in range(len(scales))],
+            desc_model, pose_model,
+        )
         res0 = _pool_and_solve(statics, cands[0], keys[0], src, tgt, 1)
         res_all = _pool_and_solve(
             statics, _cat_candidates(cands), keys[0], src, tgt, len(scales)
@@ -573,13 +611,11 @@ def _batch_candidates_jit(params, statics, src, tgt, aligned, keys, scales):
         desc_model, pose_model = _models_from_statics(statics)
         ks = jax.random.split(k, 4 + 2 * len(scales))
         pre = _precompute(statics, Cloud(*s), Cloud(*t))
-        cands = [
-            _scale_candidates(
-                params, statics, Cloud(*s), Cloud(*t), pre, i, a,
-                ks[4 + 2 * j], desc_model, pose_model,
-            )
-            for j, i in enumerate(scales)
-        ]
+        cands = _all_scale_candidates(
+            params, statics, Cloud(*s), Cloud(*t), pre, scales, a,
+            [ks[4 + 2 * j] for j in range(len(scales))],
+            desc_model, pose_model,
+        )
         return _cat_candidates(cands), ks[0]
 
     return jax.vmap(one)(tuple(src), tuple(tgt), aligned, keys)
@@ -711,13 +747,11 @@ def _candidates_stage_jit(params, statics: PipelineStatics, src: Cloud,
     desc_model, pose_model = _models_from_statics(statics)
     keys = jax.random.split(key, 4 + 2 * len(scales))
     pre = _precompute(statics, src, tgt)
-    cands = [
-        _scale_candidates(
-            params, statics, src, tgt, pre, i, is_aligned,
-            keys[4 + 2 * j], desc_model, pose_model,
-        )
-        for j, i in enumerate(scales)
-    ]
+    cands = _all_scale_candidates(
+        params, statics, src, tgt, pre, scales, is_aligned,
+        [keys[4 + 2 * j] for j in range(len(scales))],
+        desc_model, pose_model,
+    )
     return _cat_candidates(cands), keys[0]
 
 

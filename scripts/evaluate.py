@@ -157,6 +157,15 @@ def main():
             pairs = itertools.islice(pairs, args.max_pairs)
 
     cfg = apply_overrides(cfg, args)
+    if args.checkpoint_dir:
+        # architecture knobs recorded with the checkpoint (desc_mode /
+        # desc_pool change the parameter tree) take precedence
+        from bufferx_tpu.train.trainer import load_snapshot_config
+
+        snap_over = load_snapshot_config(args.checkpoint_dir)
+        if snap_over:
+            cfg = cfg.override(patch=snap_over)
+            print(f"snapshot config: {snap_over}")
 
     params = init_params(cfg, jax.random.PRNGKey(0))
     if args.checkpoint_dir:

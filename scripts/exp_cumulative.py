@@ -121,12 +121,12 @@ def main() -> int:
             sp, sm = select_patches(
                 src.xyz, pre.src_mask, pre.src_kpts, des_r, ks1,
                 statics.patch_sample, use_approx=not statics.exact_topk,
-                d2=pre.d2_src[:nf],
+                d2=pre.d2_src[:nf], use_strat=statics.strat_ball_query,
             )
             tp, tm = select_patches(
                 tgt.xyz, pre.tgt_mask, pre.tgt_kpts, des_r, ks2,
                 statics.patch_sample, use_approx=not statics.exact_topk,
-                d2=pre.d2_tgt[:nf],
+                d2=pre.d2_tgt[:nf], use_strat=statics.strat_ball_query,
             )
             patches = jnp.concatenate([sp, tp])
             pmask = jnp.concatenate([sm, tm])

@@ -119,7 +119,9 @@ def main() -> int:
             ("flat", dict(cf=False, bq=False, b=32, c=64), False),
             ("stratified", dict(cf=False, bq=False, b=32, c=64, st=True),
              False),
-            ("blocks32x64", dict(cf=False, bq=True, b=32, c=64), False),
+            ("strat+unrolled-scales",
+             dict(cf=False, bq=False, b=32, c=64, st=True, vm=False),
+             False),
         ]
     elif args.chunks:
         combos = [
@@ -145,7 +147,8 @@ def main() -> int:
             data=dict(clutter_filter=o["cf"]),
             patch=dict(block_ball_query=o["bq"], bq_block=o["b"],
                        bq_cand_blocks=o["c"],
-                       strat_ball_query=o.get("st", False)),
+                       strat_ball_query=o.get("st", False),
+                       vmap_scales=o.get("vm", True)),
         )
         if "chunk" in o:
             cfg = cfg.override(capacity=dict(sphere_query_chunk=o["chunk"]))
