@@ -51,11 +51,19 @@ class CollapseGuard:
         tol: float = 0.02,
         acc_floor: float = 0.05,
         patience: int = 6,
+        detect_crash: bool = True,
     ):
         self.saddle_value = saddle_value
         self.tol = tol
         self.acc_floor = acc_floor
         self.patience = patience
+        # The acc-crash criterion assumes a STATIONARY data distribution:
+        # under a hardness curriculum, a phase transition legitimately
+        # drops desc_acc below the floor (observed: a healthy run guard-
+        # stopped 200 steps into its phase-2 pool), so curriculum trainers
+        # disable it and rely on the saddle signature + non-finite streaks,
+        # which are distribution-independent.
+        self.detect_crash = detect_crash
         self.bad_streak = 0
         self.seen_healthy_acc = False
         self.last_good_variables: Any = None
@@ -74,7 +82,11 @@ class CollapseGuard:
                 abs(float(dl) - self.saddle_value) <= self.tol
                 and float(da) < self.acc_floor
             )
-            crashed = self.seen_healthy_acc and float(da) < self.acc_floor
+            crashed = (
+                self.detect_crash
+                and self.seen_healthy_acc
+                and float(da) < self.acc_floor
+            )
             return at_saddle or crashed
         return False
 

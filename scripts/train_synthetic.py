@@ -180,8 +180,12 @@ def main():
         gstep = 0
         # collapse rescue (round-3 postmortem: a fine-tune pass re-entered
         # the contrastive saddle and destroyed the checkpoint): snapshot
-        # the last healthy state; on sustained saddle, restore it and stop
-        guard = CollapseGuard() if stage == "Desc" else None
+        # the last healthy state; on sustained saddle, restore it and
+        # stop. detect_crash=False: the curriculum's phase transitions
+        # legitimately drop desc_acc below any fixed floor.
+        guard = (
+            CollapseGuard(detect_crash=False) if stage == "Desc" else None
+        )
         init_fallback = jax.device_get(variables)
         for pi, (n_steps, knobs) in enumerate(phases):
             batch_pool = make_pool(args.pool, args.seed + 1009 * pi, knobs)

@@ -596,6 +596,22 @@ class TestCollapseGuard:
         assert not g.update(0, {"grads_finite": 0.0}, v)
         assert g.update(1, {"grads_finite": 0.0}, v)
 
+    def test_crash_detection_can_be_disabled_for_curricula(self):
+        """A curriculum phase transition (healthy then sub-floor acc with
+        loss NOT at the saddle) must not trigger when detect_crash=False;
+        the saddle signature still must."""
+        g = self._mk(patience=2, detect_crash=False)
+        v = {"p": jnp.ones(1)}
+        assert not g.update(0, {"desc_loss": 0.7, "desc_acc": 0.5}, v)
+        # hard-phase dip: low acc, loss far from the saddle -> no trigger
+        for step in range(1, 8):
+            assert not g.update(
+                step, {"desc_loss": 2.1, "desc_acc": 0.01}, v
+            )
+        # the saddle signature still fires
+        assert not g.update(8, {"desc_loss": 1.30, "desc_acc": 0.01}, v)
+        assert g.update(9, {"desc_loss": 1.30, "desc_acc": 0.01}, v)
+
 
 class TestBestMetaPersistence:
     """A second Trainer run must not overwrite a better best.msgpack."""
