@@ -168,11 +168,15 @@ class PatchConfig:
     radius_subsample: int = 4
     # batch the multi-scale candidate chains through ONE traced body
     # (vmap over the radius index): scales run identical programs that
-    # differ only in radius, so batching them 3x's the conv/matmul batch
-    # (better MXU utilization at these small spatial dims), loads model
-    # weights once, and shares the d2 reads across the three patch
-    # selections. False = round-1..3 statically unrolled per-scale chain.
-    vmap_scales: bool = True
+    # differ only in radius, so batching them 3x's the conv/matmul batch,
+    # loads model weights once, and shares the d2 reads across the three
+    # patch selections. Default False: after the round-4 kernel work
+    # (Pallas moments v2, explicit-trig derotation, per-coordinate
+    # stratified select, compensated d2) the statically UNROLLED chain
+    # measures 76.3 ms/pair vs 90.6 vmapped at B=8 full 3-scale
+    # (HEADTOHEAD_r4_kernels.jsonl) — the batched program's layouts cost
+    # more than the batch amortizes.
+    vmap_scales: bool = False
 
 
 @dataclass(frozen=True)

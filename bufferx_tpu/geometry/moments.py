@@ -136,22 +136,34 @@ def moments_to_features(
     raw = raw.reshape(k, rad_n, ele_n, azi_n, NUM_MOMENTS)
     s1 = raw[..., 0:3]                                      # [K,r,e,a,3]
     n = raw[..., 9]
-    # symmetric second-moment matrix
+    # symmetric second-moment components
     sxx, syy, szz = raw[..., 3], raw[..., 4], raw[..., 5]
     sxy, syz, szx = raw[..., 6], raw[..., 7], raw[..., 8]
-    m2 = jnp.stack(
-        [
-            jnp.stack([sxx, sxy, szx], axis=-1),
-            jnp.stack([sxy, syy, syz], axis=-1),
-            jnp.stack([szx, syz, szz], axis=-1),
-        ],
-        axis=-2,
-    )                                                        # [K,r,e,a,3,3]
 
     angles = -2.0 * jnp.pi / azi_n * jnp.arange(azi_n, dtype=raw.dtype)
     R = rotation_z(angles)                                   # [a, 3, 3]
-    s1 = jnp.einsum("aij,kreaj->kreai", R, s1, precision=hp)
-    m2 = jnp.einsum("aij,kreajl,aml->kreaim", R, m2, R, precision=hp)
+    # R_z derotation written as explicit trig arithmetic, NOT einsum: the
+    # einsum forms ("aij,kreaj->kreai" etc.) lower to dot_generals with
+    # batch dims (k,r,e,a) of 3x3 operands — tens of millions of 3-wide
+    # matmuls that run ~10x slower than these plain broadcasts on TPU
+    # (MICRO_r4.jsonl: 9.5 ms/pair for ~0.1 ms of VPU work).
+    ca = jnp.cos(angles)[None, None, None, :]                # [1,1,1,a]
+    sa = jnp.sin(angles)[None, None, None, :]
+
+    def rot_vec(v):
+        """R_z(angle) @ v over the trailing xyz axis."""
+        x, y, z = v[..., 0], v[..., 1], v[..., 2]
+        return jnp.stack([ca * x - sa * y, sa * x + ca * y, z], axis=-1)
+
+    s1 = rot_vec(s1)
+    # symmetric tensor: M' = R M R^T, expanded per component
+    c2, s2, cs = ca * ca, sa * sa, ca * sa
+    xx_r = c2 * sxx - 2.0 * cs * sxy + s2 * syy
+    yy_r = s2 * sxx + 2.0 * cs * sxy + c2 * syy
+    xy_r = cs * (sxx - syy) + (c2 - s2) * sxy
+    zx_r = ca * szx - sa * syz
+    yz_r = sa * szx + ca * syz
+    zz_r = szz
 
     centers = jnp.asarray(grid_cell_centers(rad_n, ele_n, azi_n))
     centers = centers.reshape(rad_n, ele_n, azi_n, 3)
@@ -160,12 +172,17 @@ def moments_to_features(
     cell_r = delta / rad_n
     n_safe = jnp.maximum(n, 1.0)
     mean = s1 / n_safe[..., None]
-    cov = m2 / n_safe[..., None, None] - mean[..., :, None] * mean[..., None, :]
+    mx, my, mz = mean[..., 0], mean[..., 1], mean[..., 2]
     off = (mean - canon[None]) / cell_r
-    cov = cov / (cell_r * cell_r)
+    inv_ncr2 = 1.0 / (n_safe * (cell_r * cell_r))
+    icr2 = 1.0 / (cell_r * cell_r)
     cov6 = jnp.stack(
-        [cov[..., 0, 0], cov[..., 1, 1], cov[..., 2, 2],
-         cov[..., 0, 1], cov[..., 1, 2], cov[..., 2, 0]],
+        [xx_r * inv_ncr2 - mx * mx * icr2,
+         yy_r * inv_ncr2 - my * my * icr2,
+         zz_r * inv_ncr2 - mz * mz * icr2,
+         xy_r * inv_ncr2 - mx * my * icr2,
+         yz_r * inv_ncr2 - my * mz * icr2,
+         zx_r * inv_ncr2 - mz * mx * icr2],
         axis=-1,
     )
     density = jnp.log1p(n)[..., None] * 0.25

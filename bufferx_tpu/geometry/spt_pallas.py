@@ -203,47 +203,65 @@ def spt_cell_query_pallas(
 
 def _moments_kernel(cells_ref, rows_ref, out_ref, *,
                     radius2: float, num_cells: int):
-    """Dense moment pooling ("moments" descriptor mode).
+    """Dense moment pooling ("moments" descriptor mode), v2.
 
-    One program pools ``_PB_M`` patches: per patch, the in-radius mask
-    [Gp, P] (one MXU distance-field matmul + one VPU compare) feeds a
-    single ``ok @ psi`` MXU matmul — [Gp, P] x [P, 16] -> all ten cell
-    moments at once. No rank computation, no per-sample extraction rounds,
-    and the output is nsample*8/16 = 5x narrower than the sampled kernel's.
+    One program pools ``_PB_M`` patches. v1 ran one [Gp, 24] x [24, P]
+    distance matmul PER PATCH (the 24-wide contraction pads to 128 — 5x
+    padding waste paid 8x per program), transposed the patch rows in VMEM,
+    and assembled psi from [P, 1] COLUMN slices (1 of 128 lanes busy).
+    MICRO_r4.jsonl measured the result at 0.6% MXU. v2 restructures:
 
-    psi is assembled in VMEM from an in-kernel transpose of the patch rows
-    (a separate [K, P, 16] or [K, P, 8] HBM operand stores lane-padded to
-    128 and its traffic dominated everything). The validity mask rides in
-    rows sublane 3, doubling as the count moment.
+    - ONE distance matmul for all patches: per-patch operands concatenate
+      along lanes to [24, PB*P], so the padded contraction is paid once;
+    - psi is built in [16, P] ROW orientation directly from the rows-ref
+      sublanes (every op runs at full lane width, no transpose);
+    - the moments contraction runs as ``dot_general`` over the LAST axis
+      of both ``ok [Gp, P]`` and ``psi_rows [16, P]`` (the MXU's native
+      A @ B^T feed) -> [Gp, 16] written to the packed output lanes.
+
+    Counts stay exact: 0/1 bf16 products accumulate in f32 on the MXU.
 
     cells_ref [Gp, 8] (cols 0-2 xyz); rows_ref [PB, 8, P] (xyz in sublanes
-    0-2, mask in sublane 3); out_ref [1, Gp, 128] (patch j's moments in
-    lanes j*16 .. j*16+16).
+    0-2, mask in sublane 3); out_ref [PB//8, Gp, 128] (patch j's moments
+    in lanes (j%8)*16 .. (j%8)*16+16 of row j//8).
     """
     cells_cat, thr = _aug_cells(cells_ref, radius2, num_cells)
+    p = rows_ref.shape[2]
 
+    p_cats = []
+    psis = []
     for j in range(_PB_M):
         rj = rows_ref[j]                         # [8, P]; sublane 3 = mask
-        cross = _cross_field(cells_cat, rj)      # [Gp, P]
-        ok = (cross <= thr).astype(jnp.bfloat16)
-
-        # [P, 8] view via an in-VMEM transpose — a separate [K, P, 8] HBM
-        # operand stores lane-padded 8 -> 128 (16x) and its per-program DMA
-        # dominated the kernel
-        c = jnp.transpose(rj, (1, 0))            # [P, 8]
-        x = c[:, 0:1]
-        y = c[:, 1:2]
-        z = c[:, 2:3]
-        v = c[:, 3:4]                            # 1.0 valid / 0.0 pad
-        zero = jnp.zeros_like(x)
+        px, py, pz = rj[0:1, :], rj[1:2, :], rj[2:3, :]
+        v = rj[3:4, :]
+        pq = px * px + py * py + pz * pz         # [1, P]
+        si = jax.lax.broadcasted_iota(jnp.int32, (8, p), 0)
+        p_aug = jnp.where(si < 3, rj, jnp.where(si == 3, pq, 0.0))
+        p_hi = p_aug.astype(jnp.bfloat16)
+        p_lo = (p_aug - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        p_cats.append(jnp.concatenate([p_hi, p_lo, p_hi], axis=0))  # [24,P]
+        zero = jnp.zeros_like(px)
         psi = jnp.concatenate(
-            [x, y, z, x * x, y * y, z * z, x * y, y * z, z * x, v,
+            [px, py, pz, px * px, py * py, pz * pz,
+             px * py, py * pz, pz * px, v,
              zero, zero, zero, zero, zero, zero],
-            axis=1,
-        ) * v                                    # [P, 16], mask folded in
-        m = jnp.dot(ok, psi.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
-        out_ref[j // 8, :, (j % 8) * 16 : (j % 8 + 1) * 16] = m  # [Gp, 16]
+            axis=0,
+        ) * v                                    # [16, P], mask folded in
+        psis.append(psi.astype(jnp.bfloat16))
+
+    cross = jnp.dot(
+        cells_cat, jnp.concatenate(p_cats, axis=1),
+        preferred_element_type=jnp.float32,
+    )                                            # [Gp, PB*P]
+    ok = (cross <= thr).astype(jnp.bfloat16)     # thr broadcasts over lanes
+
+    for j in range(_PB_M):
+        m = jax.lax.dot_general(
+            ok[:, j * p : (j + 1) * p], psis[j],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                        # [Gp, 16]
+        out_ref[j // 8, :, (j % 8) * 16 : (j % 8 + 1) * 16] = m
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))

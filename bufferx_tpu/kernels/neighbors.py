@@ -55,15 +55,51 @@ def sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(d, 0.0)
 
 
+def sqdist_compensated(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """``sqdist`` via ONE bf16 hi/lo-compensated MXU pass.
+
+    The HIGHEST-precision f32 einsum in :func:`sqdist` runs as a 6-pass
+    bf16 decomposition on the TPU MXU; for centimeter-scale GEOMETRY the
+    compensated single pass is enough: both operands split into bf16
+    hi/lo halves stacked along the contraction
+    (``[a_hi, a_hi, a_lo] . [b_hi; b_lo; b_hi]``), every partial product
+    is exact in the f32 accumulator (8-bit mantissa products fit f32),
+    and only the ``lo*lo`` term is dropped — |error| <= 2^-16 |a||b|,
+    i.e. ~0.2 mm at radius 0.3 m on room-scale clouds. Descriptor
+    matching keeps the HIGHEST path (:func:`mutual_nearest`): mutual-NN
+    ties care about exact distance ordering.
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    A = jnp.concatenate([a_hi, a_hi, a_lo], axis=-1)
+    B = jnp.concatenate([b_hi, b_lo, b_hi], axis=-1)
+    ab = jnp.einsum(
+        "...md,...nd->...mn", A, B, preferred_element_type=jnp.float32
+    )
+    d = a2 - 2.0 * ab + jnp.swapaxes(b2, -1, -2)
+    return jnp.maximum(d, 0.0)
+
+
 def masked_sqdist(
     a: jnp.ndarray,
     b: jnp.ndarray,
     mask_a: jnp.ndarray,
     mask_b: jnp.ndarray,
     fill: float = _BIG,
+    precise: bool = True,
 ) -> jnp.ndarray:
-    """``sqdist`` with invalid rows/cols pushed to ``fill``."""
-    d = sqdist(a, b)
+    """``sqdist`` with invalid rows/cols pushed to ``fill``.
+
+    ``precise=False`` uses the compensated one-pass bf16 path
+    (:func:`sqdist_compensated`) — the geometry d2 matrices in the
+    serving pipeline take it; descriptor matching keeps the default."""
+    d = sqdist(a, b) if precise else sqdist_compensated(a, b)
     valid = mask_a[..., :, None] & mask_b[..., None, :]
     return jnp.where(valid, d, fill)
 
@@ -338,10 +374,16 @@ def ball_query_stratified(
     onehot = (score == best) & in_r                 # [K, L, S], one per strip
 
     pts_s = pts.reshape(l, s, 3)
-    # fused select: [K,L,S,1] * [1,L,S,3] summed over L. f32 exactness
-    # matters (coordinates at mm scale feed the LRF covariance).
-    patches = jnp.sum(
-        onehot[..., None].astype(pts.dtype) * pts_s[None], axis=1
+    # fused select, one 3D reduction per coordinate: the [K,L,S,3]
+    # broadcast-product form materialized a 4D intermediate (0.5 GB/cloud
+    # at production shapes) that XLA did not reliably fuse into the
+    # reduction (MICRO_r4.jsonl: ~7 ms/cloud-scale); three [K,L,S]
+    # multiply-reduces fuse cleanly. f32 exactness matters (coordinates
+    # at mm scale feed the LRF covariance).
+    oh = onehot.astype(pts.dtype)                   # [K, L, S]
+    patches = jnp.stack(
+        [jnp.sum(oh * pts_s[None, :, :, c], axis=1) for c in range(3)],
+        axis=-1,
     )                                               # [K, S, 3]
     patches = jnp.where(valid[..., None], patches, centers[:, None, :])
     return patches, valid

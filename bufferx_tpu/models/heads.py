@@ -117,10 +117,18 @@ class _FactoredCostStem(nn.Module):
             preferred_element_type=dt,
         )                                                   # [B, Ke-2, L-2, C2]
 
-        s_idx = jnp.arange(L - 2)
-        m_idx = (s_idx[None, :] - s_idx[:, None]) % L       # m_idx[s, l] = (l-s)%L
-        recon = A[:, :, m_idx, :]                           # [B, Ke-2, S, L', C2]
-        recon = jnp.transpose(recon, (0, 2, 1, 3, 4))       # [B, S, Ke-2, L', C2]
+        # recon[..., s, l, :] = A[..., (l - s) % L, :]: materialize via
+        # L-2 STATIC rolls (each lowers to two slices + a concat) instead
+        # of a [B, Ke-2, S, L'] advanced-index gather — TPU gathers cost
+        # per ROW regardless of width, and this one had ~10M rows per
+        # batched call at production shapes.
+        recon = jnp.stack(
+            [
+                jnp.roll(A, s, axis=2)[:, :, : L - 2, :]
+                for s in range(L - 2)
+            ],
+            axis=1,
+        )                                                   # [B, S, Ke-2, L', C2]
         x = recon - C2d[:, None] + bias.astype(dt)
         x = nn.BatchNorm(
             use_running_average=not train,

@@ -352,8 +352,11 @@ def _precompute(statics: PipelineStatics, src: Cloud, tgt: Cloud) -> _Shared:
     # one [probes, points] distance matrix per cloud, shared by radius
     # estimation and every scale's patch extraction (the dense [K, N]
     # build dominates those stages; only the radius threshold varies)
-    d2_src = masked_sqdist(s_probe, src.xyz, s_v, src.mask)
-    d2_tgt = masked_sqdist(t_probe, tgt.xyz, t_v, tgt.mask)
+    # compensated one-pass bf16 build (~6x cheaper than the HIGHEST f32
+    # path on the MXU; error <= 2^-16 |a||b| — sub-mm at scene scale, far
+    # inside the voxel-size noise floor of every radius threshold)
+    d2_src = masked_sqdist(s_probe, src.xyz, s_v, src.mask, precise=False)
+    d2_tgt = masked_sqdist(t_probe, tgt.xyz, t_v, tgt.mask, precise=False)
 
     # density-aware radii from the denser cloud (reference :654-659)
     use_src = jnp.sum(src.mask) > jnp.sum(tgt.mask)

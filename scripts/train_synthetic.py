@@ -44,10 +44,15 @@ CURRICULUM = [
          clutter_choices=(0.0, 0.05, 0.1, 0.2)),
     # round-4 low-overlap tail: the gate's open frontier is the
     # 0.1-0.3-overlap band (3DLoMatch's operating point), so the final
-    # quarter of the schedule trains EXACTLY there
-    dict(frac=0.2, overlap_range=(0.1, 0.35), noise_range=(0.0, 1.0),
-         density_choices=(1.0, 1.0, 2.0, 4.0),
-         clutter_choices=(0.0, 0.0, 0.05, 0.1)),
+    # fifth of the schedule centers there. Density/clutter pressure STAYS
+    # at the phase-3 level: the first tail variant dropped density to <=4
+    # and the fine-tuned gate lost the 10:1 cells wholesale
+    # (GATE_r04_ft.jsonl: 0.5@10:1 0.28 -> 0.14) while buying only +0.06
+    # at 0.3-overlap — ending on a narrower distribution forgets the
+    # wider one.
+    dict(frac=0.2, overlap_range=(0.1, 0.4), noise_range=(0.0, 1.0),
+         density_choices=(1.0, 2.0, 4.0, 8.0, 10.0),
+         clutter_choices=(0.0, 0.05, 0.1, 0.2)),
 ]
 
 

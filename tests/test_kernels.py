@@ -503,3 +503,23 @@ def test_radius_subsample_matches_full(rng=None):
         d2, jnp.asarray(mask), jnp.asarray(kmask),
         thresholds=(5.0, 2.0, 0.5), max_r=5.0, subsample=4)
     np.testing.assert_allclose(np.asarray(sub), np.asarray(full), atol=0.021)
+
+
+def test_sqdist_compensated_accuracy():
+    """One-pass bf16 hi/lo sqdist must stay within 2^-16-relative of the
+    HIGHEST-precision f32 path at scene scale (it feeds the geometry d2
+    matrices; boundary flips beyond that would perturb ball queries)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bufferx_tpu.kernels.neighbors import sqdist, sqdist_compensated
+
+    rs = np.random.RandomState(3)
+    a = jnp.asarray(rs.randn(64, 3) * 3.0, jnp.float32)
+    b = jnp.asarray(rs.randn(256, 3) * 3.0, jnp.float32)
+    want = np.asarray(sqdist(a, b))
+    got = np.asarray(sqdist_compensated(a, b))
+    # error bound: 2^-16 * sum_i |a_i||b_i| (the dropped lo*lo terms) —
+    # at 3-m scene scale that is ~4e-4 m^2, i.e. <1 mm at radius 0.3 m
+    scale = np.maximum(np.abs(want), 1.0)
+    assert np.max(np.abs(got - want) / scale) < 1.5e-3

@@ -255,3 +255,78 @@ class TestMomentsModeIntegration:
         # moments-mode point layer consumes 10 moment channels
         k0 = [k for k in params["desc"]["params"] if k.startswith("ConvBNRelu")]
         assert len(k0) > 0
+
+
+def test_derotation_matches_einsum_reference():
+    """The explicit-trig derotation in moments_to_features must equal the
+    einsum/rotation-matrix form it replaced (round-4 perf rewrite: the
+    einsum lowered to millions of 3x3 dot_generals, ~10x slower)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bufferx_tpu.core.se3 import rotation_z
+    from bufferx_tpu.geometry.moments import (
+        NUM_MOMENTS,
+        moments_to_features,
+    )
+
+    rad_n, ele_n, azi_n, delta = 3, 5, 8, 0.8
+    g = rad_n * ele_n * azi_n
+    rs = np.random.RandomState(11)
+    raw = np.zeros((7, g, NUM_MOMENTS), np.float32)
+    # build raw moments from synthetic point sets so n/s1/s2 are consistent
+    counts = rs.randint(0, 5, size=(7, g))
+    for k in range(7):
+        for c in range(g):
+            pts = rs.randn(counts[k, c], 3).astype(np.float32) * 0.1
+            x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+            raw[k, c] = [x.sum(), y.sum(), z.sum(),
+                         (x * x).sum(), (y * y).sum(), (z * z).sum(),
+                         (x * y).sum(), (y * z).sum(), (z * x).sum(),
+                         len(pts)]
+
+    got = np.asarray(
+        moments_to_features(jnp.asarray(raw), rad_n=rad_n, ele_n=ele_n,
+                            azi_n=azi_n, delta=delta)
+    )
+
+    # einsum reference (the pre-rewrite formulation)
+    def reference(raw):
+        from bufferx_tpu.geometry.cylindrical import grid_cell_centers
+
+        hp = jax.lax.Precision.HIGHEST
+        k = raw.shape[0]
+        raw = raw.reshape(k, rad_n, ele_n, azi_n, NUM_MOMENTS)
+        s1 = raw[..., 0:3]
+        n = raw[..., 9]
+        sxx, syy, szz = raw[..., 3], raw[..., 4], raw[..., 5]
+        sxy, syz, szx = raw[..., 6], raw[..., 7], raw[..., 8]
+        m2 = jnp.stack(
+            [jnp.stack([sxx, sxy, szx], axis=-1),
+             jnp.stack([sxy, syy, syz], axis=-1),
+             jnp.stack([szx, syz, szz], axis=-1)], axis=-2)
+        angles = -2.0 * jnp.pi / azi_n * jnp.arange(azi_n, dtype=raw.dtype)
+        R = rotation_z(angles)
+        s1 = jnp.einsum("aij,kreaj->kreai", R, s1, precision=hp)
+        m2 = jnp.einsum("aij,kreajl,aml->kreaim", R, m2, R, precision=hp)
+        centers = jnp.asarray(grid_cell_centers(rad_n, ele_n, azi_n))
+        centers = centers.reshape(rad_n, ele_n, azi_n, 3)
+        canon = jnp.einsum("aij,reaj->reai", R, centers, precision=hp)
+        cell_r = delta / rad_n
+        n_safe = jnp.maximum(n, 1.0)
+        mean = s1 / n_safe[..., None]
+        cov = (m2 / n_safe[..., None, None]
+               - mean[..., :, None] * mean[..., None, :])
+        off = (mean - canon[None]) / cell_r
+        cov = cov / (cell_r * cell_r)
+        cov6 = jnp.stack(
+            [cov[..., 0, 0], cov[..., 1, 1], cov[..., 2, 2],
+             cov[..., 0, 1], cov[..., 1, 2], cov[..., 2, 0]], axis=-1)
+        density = jnp.log1p(n)[..., None] * 0.25
+        feats = jnp.concatenate([density, off, cov6], axis=-1)
+        feats = jnp.where(n[..., None] > 0.0, feats, 0.0)
+        return feats.reshape(k, g, NUM_MOMENTS)
+
+    want = np.asarray(reference(jnp.asarray(raw)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
