@@ -256,23 +256,32 @@ def _moments_kernel(cells_ref, rows_ref, out_ref, *,
     ok = (cross <= thr).astype(jnp.bfloat16)     # thr broadcasts over lanes
 
     for j in range(_PB_M):
+        # moments-MAJOR output [16, Gp]: cells ride the 128-lane axis, so
+        # the downstream derotation (moments_to_features) runs full-width
+        # VPU ops — the old [K, G, 10] layout padded 10 -> 128 lanes (12x)
+        # on every elementwise op AND needed an unpack transpose.
         m = jax.lax.dot_general(
-            ok[:, j * p : (j + 1) * p], psis[j],
+            psis[j], ok[:, j * p : (j + 1) * p],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                        # [Gp, 16]
-        out_ref[j // 8, :, (j % 8) * 16 : (j % 8 + 1) * 16] = m
+        )                                        # [16, Gp]
+        out_ref[j] = m
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("radius", "interpret", "moments_major")
+)
 def spt_moments_pallas(
     patches: jnp.ndarray,       # [K, P, 3] normalized offsets
     patches_mask: jnp.ndarray,  # [K, P]
     cells: jnp.ndarray,         # [G, 3]
     radius: float,
     interpret: bool = False,
+    moments_major: bool = False,
 ) -> jnp.ndarray:
-    """Returns raw per-cell moments [K, G, 10] (see geometry.moments).
+    """Raw per-cell moments: [K, 10, G] when ``moments_major`` (the
+    serving layout — cells on lanes, a pure slice of the kernel output),
+    else [K, G, 10] (one transpose, compatibility layout).
 
     Counts stay exact (0/1 in bf16, f32 MXU accumulation); coordinate
     moments carry bf16 rounding — the same precision the descriptor conv
@@ -301,12 +310,12 @@ def spt_moments_pallas(
             pl.BlockSpec((_PB_M, 8, p_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_PB_M // 8, gp, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((_PB_M, 16, gp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k_pad // 8, gp, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k_pad, 16, gp), jnp.float32),
         interpret=interpret,
     )(cells_t, rows)
 
-    out = out.reshape(k_pad // 8, gp, 8, 16)
-    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(k_pad, gp, 16)
-    return out[:k, :g, :NUM_MOMENTS]
+    if moments_major:
+        return out[:k, :NUM_MOMENTS, :g]
+    return jnp.transpose(out[:k, :NUM_MOMENTS, :g], (0, 2, 1))

@@ -29,6 +29,46 @@ from bufferx_tpu.models.layers import ConvBNRelu, CylindricalConvNet
 __all__ = ["MiniSpinNet"]
 
 
+class _MomentsMajorStem(nn.Module):
+    """1x1 conv stem for MOMENTS-MAJOR input [K, 10, G] -> [K, G, 16].
+
+    The moments pipeline keeps cells on the TPU lane axis ([K, 10, G])
+    through pooling and derotation; this stem contracts the 10 moment
+    channels directly from that layout (one dot_general) instead of
+    forcing a [K, G, 10] relayout first. Parameter tree is IDENTICAL to
+    ``ConvBNRelu(16, (1, 1), bn_affine=True)`` applied channel-last
+    (child names Conv_0/kernel [1,1,10,16], bias, BatchNorm_0), so
+    checkpoints are layout-independent.
+    """
+
+    features: int = 16
+    bn_axis_name: str | None = None
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_mm: jnp.ndarray, train: bool = False):
+        from bufferx_tpu.models.heads import _ConvParamHolder
+
+        dt = self.compute_dtype
+        cin = x_mm.shape[1]
+        kernel, bias = _ConvParamHolder(
+            (1, 1, cin, self.features), self.features, name="Conv_0"
+        )()
+        y = jax.lax.dot_general(
+            x_mm.astype(dt), kernel[0, 0].astype(dt),
+            (((1,), (0,)), ((), ())),
+        )                                           # [K, G, 16]
+        y = y + bias.astype(dt)
+        bn_dt = jnp.float32 if train else dt
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            use_bias=True, use_scale=True,
+            axis_name=self.bn_axis_name if train else None,
+            momentum=0.9, dtype=bn_dt, name="BatchNorm_0",
+        )(y.astype(bn_dt))
+        return nn.relu(y.astype(jnp.float32))
+
+
 def _safe_unit(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Exact L2 unit-normalization over the last axis.
 
@@ -72,39 +112,51 @@ class MiniSpinNet(nn.Module):
     def __call__(self, inv_patches: jnp.ndarray, train: bool = False):
         ax = self.bn_axis_name
         dt = self.compute_dtype
-        k, g = inv_patches.shape[0], inv_patches.shape[1]
+        k = inv_patches.shape[0]
+        # sampled mode: [K, G, ns, 3]; moments mode: moments-major
+        # [K, 10, G]
+        g = inv_patches.shape[2 if self.mode == "moments" else 1]
         assert g == self.rad_n * self.ele_n * self.azi_n
 
         if self.mode == "moments":
-            # dense cell pooling: 1x1 conv on the 10 moment features
-            x = ConvBNRelu(16, (1, 1), bn_affine=True, bn_axis_name=ax,
-                           compute_dtype=dt)(inv_patches[:, :, None, :], train)
-            x = jnp.squeeze(x, axis=2)                      # [K, G, 16]
+            # dense cell pooling: 1x1 conv on the 10 moment features,
+            # consumed in MOMENTS-MAJOR layout [K, 10, G] (cells on the
+            # lane axis end-to-end through pooling + derotation; same
+            # parameter tree as the old channel-last stem)
+            assert inv_patches.shape[1] == 10, (
+                "moments mode expects moments-major input [K, 10, G]"
+            )
+            x = _MomentsMajorStem(
+                16, bn_axis_name=ax, compute_dtype=dt, name="ConvBNRelu_0"
+            )(inv_patches, train)                           # [K, G, 16]
         else:
             # point MLP: 1x1 conv 3->16 + BN(affine) + relu, max over samples
             x = ConvBNRelu(16, (1, 1), bn_affine=True, bn_axis_name=ax,
-                           compute_dtype=dt)(inv_patches, train)                                                   # [K, G, ns, 16]
+                           compute_dtype=dt,
+                           name="ConvBNRelu_0")(inv_patches, train)                                                   # [K, G, ns, 16]
             x = jnp.max(x, axis=2)                          # [K, G, 16]
         x = x.reshape(k, self.rad_n, self.ele_n, self.azi_n, 16)
 
         x, _mid = CylindricalConvNet(
-            dim=self.dim, bn_axis_name=ax, compute_dtype=dt
+            dim=self.dim, bn_axis_name=ax, compute_dtype=dt,
+            name="CylindricalConvNet_0",
         )(x, train)
         # x: [K, ele, azi, 32]
 
         # attention pooling (see class docstring for the two designs)
         w = ConvBNRelu(16, (1, 1), bn_affine=True, bn_axis_name=ax,
-                       compute_dtype=dt)(x, train)
+                       compute_dtype=dt, name="ConvBNRelu_1")(x, train)
         if self.pool == "softmax":
             logits = ConvBNRelu(1, (1, 1), use_bn=False, use_relu=False,
-                                compute_dtype=dt)(w, train)
+                                compute_dtype=dt,
+                                name="ConvBNRelu_2")(w, train)
             att = jax.nn.softmax(
                 logits.reshape(k, -1), axis=-1
             ).reshape(logits.shape)
             f = jnp.sum(x * att, axis=(1, 2))               # [K, 32]
         else:
             w = ConvBNRelu(1, (1, 1), bn_affine=True, bn_axis_name=ax,
-                           compute_dtype=dt)(w, train)
+                           compute_dtype=dt, name="ConvBNRelu_2")(w, train)
             f = jnp.mean(x * w, axis=(1, 2))                # [K, 32]
         # ``f`` is f32 here (ConvBNRelu casts back after BN), so the norm
         # accumulates in f32 even in bf16 serving mode. _safe_unit keeps a

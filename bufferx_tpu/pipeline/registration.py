@@ -181,7 +181,7 @@ def init_params(cfg: Config, key: jax.Array) -> dict:
     g = s.rad_n * s.ele_n * s.azi_n
     k1, k2 = jax.random.split(key)
     desc_in = (
-        jnp.zeros((2, g, 10))
+        jnp.zeros((2, 10, g))      # moments-major [K, 10, G]
         if s.desc_mode == "moments"
         else jnp.zeros((2, g, s.voxel_sample, 3))
     )
@@ -216,16 +216,20 @@ def _spt_features(normed, pmask, statics: PipelineStatics):
     """Normalized aligned offsets -> descriptor-net input (mode dispatch)."""
     if statics.desc_mode == "moments":
         from bufferx_tpu.geometry.moments import (
-            moments_to_features,
+            moments_to_features_mm,
             pool_cell_moments,
         )
 
+        # moments-MAJOR layout end-to-end ([K, 10, G]: cells on lanes) —
+        # the Pallas kernel emits it natively and the derotation +
+        # descriptor stem consume it without a relayout
         raw = pool_cell_moments(
             normed, pmask,
             rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
             delta=statics.delta, chunk=statics.sphere_chunk,
+            moments_major=True,
         )
-        return moments_to_features(
+        return moments_to_features_mm(
             raw, rad_n=statics.rad_n, ele_n=statics.ele_n,
             azi_n=statics.azi_n, delta=statics.delta,
         )
@@ -239,29 +243,35 @@ def _spt_features(normed, pmask, statics: PipelineStatics):
 
 def _embed_two(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
                src_kpts, tgt_kpts, des_r, is_aligned, key, desc_model,
-               d2_src=None, d2_tgt=None):
+               d2_src=None, d2_tgt=None, pre_patches=None):
     """Both clouds' keypoints through one geometric+model pass.
 
     Patch extraction/LRF/SPT are per-keypoint ops, and the conv net is
     weight-bound at these batch sizes — stacking src and tgt (2K patches)
     costs the same math but loads the weights once. ``d2_src``/``d2_tgt``
     are the precomputed keypoint-to-cloud distance matrices (shared across
-    scales — only the radius changes per scale)."""
-    ks1, ks2 = jax.random.split(key)
-    sp, sm = select_patches(
-        src.xyz, src.mask, src_kpts, des_r, ks1, statics.patch_sample,
-        use_approx=not statics.exact_topk, d2=d2_src,
-        use_blocks=statics.block_ball_query,
-        block=statics.bq_block, cand_blocks=statics.bq_cand_blocks,
-        use_strat=statics.strat_ball_query,
-    )
-    tp, tm = select_patches(
-        tgt.xyz, tgt.mask, tgt_kpts, des_r, ks2, statics.patch_sample,
-        use_approx=not statics.exact_topk, d2=d2_tgt,
-        use_blocks=statics.block_ball_query,
-        block=statics.bq_block, cand_blocks=statics.bq_cand_blocks,
-        use_strat=statics.strat_ball_query,
-    )
+    scales — only the radius changes per scale). ``pre_patches``
+    ((sp, sm, tp, tm)) skips patch selection entirely — the fused
+    multi-radius stratified kernel selects every scale's patches in one
+    pass during precompute."""
+    if pre_patches is not None:
+        sp, sm, tp, tm = pre_patches
+    else:
+        ks1, ks2 = jax.random.split(key)
+        sp, sm = select_patches(
+            src.xyz, src.mask, src_kpts, des_r, ks1, statics.patch_sample,
+            use_approx=not statics.exact_topk, d2=d2_src,
+            use_blocks=statics.block_ball_query,
+            block=statics.bq_block, cand_blocks=statics.bq_cand_blocks,
+            use_strat=statics.strat_ball_query,
+        )
+        tp, tm = select_patches(
+            tgt.xyz, tgt.mask, tgt_kpts, des_r, ks2, statics.patch_sample,
+            use_approx=not statics.exact_topk, d2=d2_tgt,
+            use_blocks=statics.block_ball_query,
+            block=statics.bq_block, cand_blocks=statics.bq_cand_blocks,
+            use_strat=statics.strat_ball_query,
+        )
     patches = jnp.concatenate([sp, tp])
     pmask = jnp.concatenate([sm, tm])
     kpts = jnp.concatenate([src_kpts, tgt_kpts])
@@ -306,7 +316,13 @@ class _Shared(NamedTuple):
     keypoint-to-cloud distance matrices, the per-scale radii, and the
     (possibly clutter-filtered) cloud validity masks — every downstream
     stage must see the SAME point validity as FPS/d2 did, so the filtered
-    masks travel with the precomputation."""
+    masks travel with the precomputation.
+
+    ``src_patches``/``tgt_patches`` ([R, K, P, 3] + valid bits) are the
+    ALL-SCALE stratified patch selections when the fused multi-radius
+    kernel is active (``strat_ball_query`` + divisibility): one pass over
+    each d2 matrix serves every scale (the per-scale XLA query re-read
+    d2 per scale — 181 MB/cloud/scale). ``None`` on other query paths."""
 
     src_kpts: jnp.ndarray
     tgt_kpts: jnp.ndarray
@@ -317,6 +333,10 @@ class _Shared(NamedTuple):
     radii: jnp.ndarray
     src_mask: jnp.ndarray
     tgt_mask: jnp.ndarray
+    src_patches: jnp.ndarray | None = None
+    src_pvalid: jnp.ndarray | None = None
+    tgt_patches: jnp.ndarray | None = None
+    tgt_pvalid: jnp.ndarray | None = None
 
 
 class _Candidates(NamedTuple):
@@ -330,7 +350,9 @@ class _Candidates(NamedTuple):
     d2: jnp.ndarray      # [K] descriptor match distance
 
 
-def _precompute(statics: PipelineStatics, src: Cloud, tgt: Cloud) -> _Shared:
+def _precompute(statics: PipelineStatics, src: Cloud, tgt: Cloud,
+                key: jax.Array | None = None,
+                scales: tuple | None = None) -> _Shared:
     # density prefilter: drop volumetric clutter BEFORE FPS (FPS greedily
     # selects isolated points, so unfiltered clutter captures the keypoint
     # budget — kernels/density.py documents the calibration)
@@ -368,24 +390,57 @@ def _precompute(statics: PipelineStatics, src: Cloud, tgt: Cloud) -> _Shared:
         subsample=statics.radius_subsample,
     )
     nf = statics.num_fps
+    sp = sv = tp = tv = None
+    if (
+        key is not None
+        and scales is not None
+        and statics.strat_ball_query
+        and statics.max_points % statics.patch_sample == 0
+    ):
+        from bufferx_tpu.kernels.strat_pallas import (
+            ball_query_stratified_multi,
+        )
+
+        radii_used = jnp.maximum(
+            radii[jnp.asarray(scales, jnp.int32)], 1e-3
+        )
+        ks, kt = jax.random.split(key)
+        sp, sv = ball_query_stratified_multi(
+            src.xyz, src.mask, s_probe[:nf], radii_used, ks,
+            statics.patch_sample, d2_src[:nf],
+        )
+        tp, tv = ball_query_stratified_multi(
+            tgt.xyz, tgt.mask, t_probe[:nf], radii_used, kt,
+            statics.patch_sample, d2_tgt[:nf],
+        )
     return _Shared(
         src_kpts=s_probe[:nf], tgt_kpts=t_probe[:nf],
         src_kpts_v=s_v[:nf], tgt_kpts_v=t_v[:nf],
         d2_src=d2_src, d2_tgt=d2_tgt, radii=radii,
         src_mask=src.mask, tgt_mask=tgt.mask,
+        src_patches=sp, src_pvalid=sv, tgt_patches=tp, tgt_pvalid=tv,
     )
 
 
 def _scale_candidates(params, statics: PipelineStatics, src: Cloud,
                       tgt: Cloud, pre: _Shared, scale, is_aligned,
-                      key, desc_model, pose_model) -> _Candidates:
+                      key, desc_model, pose_model,
+                      scale_pos=None) -> _Candidates:
     """One scale: embed both clouds in ONE model call (halves conv weight
     traffic and per-call overheads), match, predict SO(2), pose candidates.
 
     ``scale`` may be a static int or a traced scalar index (the
-    scale-vmapped path maps this function over a radius-index vector)."""
+    scale-vmapped path maps this function over a radius-index vector).
+    ``scale_pos`` is the scale's POSITION in the program's scale subset —
+    the index into the precomputed all-scale patch stacks."""
     des_r = jnp.maximum(pre.radii[scale], 1e-3)
     nf = statics.num_fps
+    pre_patches = None
+    if pre.src_patches is not None and scale_pos is not None:
+        pre_patches = (
+            pre.src_patches[scale_pos], pre.src_pvalid[scale_pos],
+            pre.tgt_patches[scale_pos], pre.tgt_pvalid[scale_pos],
+        )
     # patch extraction sees the SAME validity as FPS/d2 (the clutter
     # prefilter's refined masks live in ``pre`` — the raw Cloud masks would
     # let filtered-out points re-enter patches via the block ball query's
@@ -396,6 +451,7 @@ def _scale_candidates(params, statics: PipelineStatics, src: Cloud,
         pre.src_kpts, pre.tgt_kpts, des_r,
         is_aligned, key, desc_model,
         d2_src=pre.d2_src[:nf], d2_tgt=pre.d2_tgt[:nf],
+        pre_patches=pre_patches,
     )
     s_desc, t_desc = desc2[:nf], desc2[nf:]
     s_equi, t_equi = equi2[:nf], equi2[nf:]
@@ -446,17 +502,17 @@ def _all_scale_candidates(params, statics: PipelineStatics, src: Cloud,
         return [
             _scale_candidates(
                 params, statics, src, tgt, pre, s, is_aligned,
-                keys[j], desc_model, pose_model,
+                keys[j], desc_model, pose_model, scale_pos=j,
             )
             for j, s in enumerate(scales)
         ]
     idx = jnp.asarray(scales, jnp.int32)
     stacked = jax.vmap(
-        lambda s, k: _scale_candidates(
+        lambda s, j, k: _scale_candidates(
             params, statics, src, tgt, pre, s, is_aligned, k,
-            desc_model, pose_model,
+            desc_model, pose_model, scale_pos=j,
         )
-    )(idx, jnp.stack(keys[: len(scales)]))
+    )(idx, jnp.arange(len(scales)), jnp.stack(keys[: len(scales)]))
     return [
         jax.tree.map(lambda x, j=j: x[j], stacked)
         for j in range(len(scales))
@@ -515,7 +571,7 @@ def _register_impl(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
     """Core pipeline over the given static scale subset."""
     desc_model, pose_model = _models_from_statics(statics)
     keys = jax.random.split(key, 4 + 2 * len(scales))
-    pre = _precompute(statics, src, tgt)
+    pre = _precompute(statics, src, tgt, keys[1], scales)
     cands = _all_scale_candidates(
         params, statics, src, tgt, pre, scales, is_aligned,
         [keys[4 + 2 * j] for j in range(len(scales))],
@@ -556,7 +612,7 @@ def register_pair_jit(
         # costs ~the no-early-exit program plus one extra solve.
         desc_model, pose_model = _models_from_statics(statics)
         keys = jax.random.split(key, 4 + 2 * len(scales))
-        pre = _precompute(statics, src, tgt)
+        pre = _precompute(statics, src, tgt, keys[1], scales)
         cands = _all_scale_candidates(
             params, statics, src, tgt, pre, scales, is_aligned,
             [keys[4 + 2 * j] for j in range(len(scales))],
@@ -613,7 +669,7 @@ def _batch_candidates_jit(params, statics, src, tgt, aligned, keys, scales):
     def one(s, t, a, k):
         desc_model, pose_model = _models_from_statics(statics)
         ks = jax.random.split(k, 4 + 2 * len(scales))
-        pre = _precompute(statics, Cloud(*s), Cloud(*t))
+        pre = _precompute(statics, Cloud(*s), Cloud(*t), ks[1], scales)
         cands = _all_scale_candidates(
             params, statics, Cloud(*s), Cloud(*t), pre, scales, a,
             [ks[4 + 2 * j] for j in range(len(scales))],
@@ -749,7 +805,7 @@ def _candidates_stage_jit(params, statics: PipelineStatics, src: Cloud,
                           tgt: Cloud, is_aligned, key, scales: tuple):
     desc_model, pose_model = _models_from_statics(statics)
     keys = jax.random.split(key, 4 + 2 * len(scales))
-    pre = _precompute(statics, src, tgt)
+    pre = _precompute(statics, src, tgt, keys[1], scales)
     cands = _all_scale_candidates(
         params, statics, src, tgt, pre, scales, is_aligned,
         [keys[4 + 2 * j] for j in range(len(scales))],

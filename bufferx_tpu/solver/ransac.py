@@ -54,19 +54,28 @@ def ransac_pose(
     chunk: int = 2048,
 ) -> RansacResult:
     c = src.shape[0]
-    logits = jnp.where(pool_mask, 0.0, -jnp.inf)
-    # guard: empty pool would NaN the categorical; fall back to eval_mask,
-    # then to uniform
-    logits = jnp.where(
-        jnp.any(pool_mask), logits, jnp.where(eval_mask, 0.0, -jnp.inf)
+    # guard: empty pool falls back to eval_mask, then to uniform
+    pool = jnp.where(
+        jnp.any(pool_mask), pool_mask,
+        jnp.where(jnp.any(eval_mask), eval_mask, jnp.ones_like(pool_mask)),
     )
-    logits = jnp.where(
-        jnp.any(pool_mask | eval_mask), logits, jnp.zeros_like(logits)
-    )
-
-    sel = jax.random.categorical(
-        key, logits[None, None, :], shape=(num_hypotheses, 3)
+    # uniform-over-pool sampling WITHOUT the categorical: categorical with
+    # 0/-inf logits draws gumbel noise for every (hypothesis, point) pair —
+    # ~10^8 threefry evaluations per solve. Rank-select instead: draw a
+    # uniform rank in [0, |pool|), then idx = #\{cum <= rank\} via one
+    # broadcast compare-sum (same distribution; modulo bias <= |pool|/2^30).
+    cum = jnp.cumsum(pool.astype(jnp.int32))                # [C] inclusive
+    npool = jnp.maximum(cum[-1], 1)
+    ranks = (
+        jax.random.randint(
+            key, (num_hypotheses, 3), 0, jnp.int32(1 << 30),
+            dtype=jnp.int32,
+        )
+        % npool
     )                                                       # [H, 3]
+    sel = jnp.sum(
+        cum[None, None, :] <= ranks[..., None], axis=-1
+    ).astype(jnp.int32)                                     # [H, 3]
     a = src[sel]                                            # [H, 3, 3]
     b = tgt[sel]
 

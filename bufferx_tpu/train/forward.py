@@ -144,16 +144,19 @@ def embed_training(
 
     if statics.desc_mode == "moments":
         from bufferx_tpu.geometry.moments import (
-            moments_to_features,
+            moments_to_features_mm,
             pool_cell_moments,
         )
 
+        # moments-major [K, 10, G] — the layout the serving pipeline and
+        # the descriptor stem use (see geometry.moments)
         raw = pool_cell_moments(
             aligned, pmask,
             rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
             delta=statics.delta, chunk=statics.sphere_chunk,
+            moments_major=True,
         )
-        inv = moments_to_features(
+        inv = moments_to_features_mm(
             raw, rad_n=statics.rad_n, ele_n=statics.ele_n,
             azi_n=statics.azi_n, delta=statics.delta,
         )

@@ -107,8 +107,10 @@ def main() -> int:
         keys = jax.random.split(key, 10)
         fence = jnp.float32(0.0)
 
-        pre = _precompute(statics, src, tgt)
+        pre = _precompute(statics, src, tgt, keys[1], (0, 1, 2))
         fence += fsum(pre.radii) + fsum(pre.src_kpts)
+        if pre.src_patches is not None:
+            fence += fsum(pre.src_patches) + fsum(pre.tgt_patches)
         if last == 0:
             return fence
 
@@ -117,17 +119,21 @@ def main() -> int:
             f = jnp.float32(0.0)
             des_r = jnp.maximum(pre.radii[scale], 1e-3)
             nf = statics.num_fps
-            ks1, ks2 = jax.random.split(key)
-            sp, sm = select_patches(
-                src.xyz, pre.src_mask, pre.src_kpts, des_r, ks1,
-                statics.patch_sample, use_approx=not statics.exact_topk,
-                d2=pre.d2_src[:nf], use_strat=statics.strat_ball_query,
-            )
-            tp, tm = select_patches(
-                tgt.xyz, pre.tgt_mask, pre.tgt_kpts, des_r, ks2,
-                statics.patch_sample, use_approx=not statics.exact_topk,
-                d2=pre.d2_tgt[:nf], use_strat=statics.strat_ball_query,
-            )
+            if pre.src_patches is not None:
+                sp, sm = pre.src_patches[scale], pre.src_pvalid[scale]
+                tp, tm = pre.tgt_patches[scale], pre.tgt_pvalid[scale]
+            else:
+                ks1, ks2 = jax.random.split(key)
+                sp, sm = select_patches(
+                    src.xyz, pre.src_mask, pre.src_kpts, des_r, ks1,
+                    statics.patch_sample, use_approx=not statics.exact_topk,
+                    d2=pre.d2_src[:nf], use_strat=statics.strat_ball_query,
+                )
+                tp, tm = select_patches(
+                    tgt.xyz, pre.tgt_mask, pre.tgt_kpts, des_r, ks2,
+                    statics.patch_sample, use_approx=not statics.exact_topk,
+                    d2=pre.d2_tgt[:nf], use_strat=statics.strat_ball_query,
+                )
             patches = jnp.concatenate([sp, tp])
             pmask = jnp.concatenate([sm, tm])
             if stop == 1:

@@ -89,6 +89,10 @@ def main() -> int:
     ap.add_argument("--cells", default="",
                     help="comma-separated cell indices to run (subset gate "
                          "for cheap A/Bs; indices follow build_cells order)")
+    ap.add_argument("--set", action="append", default=[],
+                    help="config override section.key=value, repeatable "
+                         "(e.g. --set capacity.num_ransac_hypotheses=16384 "
+                         "--set match.inlier_th=1.5)")
     args = ap.parse_args()
 
     import jax
@@ -134,6 +138,19 @@ def main() -> int:
         if snap_over:
             cfg = cfg.override(patch=snap_over)
             log(f"snapshot config: {snap_over}")
+    for ov in args.set:
+        path, _, raw = ov.partition("=")
+        sec, _, k = path.partition(".")
+        for cast in (int, float):
+            try:
+                val = cast(raw)
+                break
+            except ValueError:
+                continue
+        else:
+            val = {"true": True, "false": False}.get(raw.lower(), raw)
+        cfg = cfg.override(**{sec: {k: val}})
+        print(f"override: {sec}.{k} = {val!r}", file=sys.stderr)
     if args.no_clutter_filter:
         cfg = cfg.override(data=dict(clutter_filter=False))
     if args.quick:

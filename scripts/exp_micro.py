@@ -80,7 +80,7 @@ def main() -> int:
     desc = MiniSpinNet(rad_n=p.rad_n, ele_n=p.ele_n, azi_n=p.azi_n,
                        compute_dtype=jnp.bfloat16, mode="moments",
                        pool="softmax")
-    inv = jnp.asarray(rng.randn(KC, G, 10), jnp.float32)
+    inv = jnp.asarray(rng.randn(KC, 10, G), jnp.float32)  # moments-major
     dvars = desc.init(jax.random.PRNGKey(0), inv[:2], train=False)
     desc_fn = jax.jit(lambda v, x: desc.apply(v, x, train=False))
 
@@ -133,16 +133,20 @@ def main() -> int:
     cases["spt_moments"] = dict(
         fn=lambda pa, ma: pool_cell_moments(
             pa, ma, rad_n=p.rad_n, ele_n=p.ele_n, azi_n=p.azi_n,
-            delta=p.delta, chunk=cfg.capacity.sphere_query_chunk),
+            delta=p.delta, chunk=cfg.capacity.sphere_query_chunk,
+            moments_major=True),
         args=(patches, pmask),
         flops=KM * G * P * (10 + 2) * 2,   # distance field + ok@psi matmuls
         bytes=KM * 8 * P * 4)
 
     # ---- moments -> features (derotation) ------------------------------
-    raw = jnp.abs(jnp.asarray(rng.randn(KM, G, 10), jnp.float32))
+    raw = jnp.abs(jnp.asarray(rng.randn(KM, 10, G), jnp.float32))
+    from bufferx_tpu.geometry.moments import moments_to_features_mm
+
     cases["moments_to_features"] = dict(
-        fn=lambda r: moments_to_features(r, rad_n=p.rad_n, ele_n=p.ele_n,
-                                         azi_n=p.azi_n, delta=p.delta),
+        fn=lambda r: moments_to_features_mm(
+            r, rad_n=p.rad_n, ele_n=p.ele_n,
+            azi_n=p.azi_n, delta=p.delta),
         args=(raw,),
         flops=KM * G * (9 + 27) * 2, bytes=KM * G * 10 * 4 * 2)
 

@@ -103,7 +103,7 @@ class TestSoftmaxPool:
 
         net = MiniSpinNet(rad_n=3, ele_n=5, azi_n=8, mode="moments",
                           pool="softmax")
-        x = jnp.asarray(np.random.RandomState(0).randn(3, 3 * 5 * 8, 10),
+        x = jnp.asarray(np.random.RandomState(0).randn(3, 10, 3 * 5 * 8),
                         jnp.float32)
         variables = net.init(jax.random.PRNGKey(0), x, train=False)
         out = net.apply(variables, x, train=False)
@@ -128,7 +128,7 @@ class TestSoftmaxPool:
         from bufferx_tpu.models.spinnet import MiniSpinNet
 
         rs = np.random.RandomState(1)
-        x = jnp.asarray(rs.randn(2, 3 * 5 * 8, 10), jnp.float32)
+        x = jnp.asarray(rs.randn(2, 10, 3 * 5 * 8), jnp.float32)
         for pool in ("gated", "softmax"):
             net = MiniSpinNet(rad_n=3, ele_n=5, azi_n=8, mode="moments",
                               pool=pool)

@@ -159,7 +159,8 @@ class TestMomentsModeIntegration:
         from bufferx_tpu.models.spinnet import MiniSpinNet
 
         m = MiniSpinNet(rad_n=RAD, ele_n=ELE, azi_n=AZI, mode="moments")
-        x = jnp.asarray(rng.randn(4, RAD * ELE * AZI, 10).astype(np.float32))
+        # moments-major input [K, 10, G]
+        x = jnp.asarray(rng.randn(4, 10, RAD * ELE * AZI).astype(np.float32))
         params = m.init(jax.random.PRNGKey(0), x, train=False)
         out = m.apply(params, x, train=False)
         assert out["desc"].shape == (4, 32)
@@ -210,7 +211,7 @@ class TestMomentsModeIntegration:
                             mode="moments")
         g = s.rad_n * s.ele_n * s.azi_n
         params = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((2, g, 10)), train=False
+            jax.random.PRNGKey(0), jnp.zeros((2, 10, g)), train=False
         )
         n = 512
         cloud = rng.randn(n, 3).astype(np.float32)
@@ -330,3 +331,51 @@ def test_derotation_matches_einsum_reference():
 
     want = np.asarray(reference(jnp.asarray(raw)))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_moments_major_matches_standard_layout():
+    """moments_to_features_mm([K,10,G]) must equal
+    moments_to_features([K,G,10]) transposed — the layouts are the only
+    difference."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bufferx_tpu.geometry.moments import (
+        NUM_MOMENTS,
+        moments_to_features,
+        moments_to_features_mm,
+    )
+
+    rad_n, ele_n, azi_n, delta = 3, 5, 8, 0.8
+    g = rad_n * ele_n * azi_n
+    rs = np.random.RandomState(4)
+    raw = np.abs(rs.randn(6, g, NUM_MOMENTS)).astype(np.float32)
+    raw[:, ::3, 9] = 0.0          # some empty cells
+    want = np.asarray(
+        moments_to_features(jnp.asarray(raw), rad_n=rad_n, ele_n=ele_n,
+                            azi_n=azi_n, delta=delta)
+    )
+    got = np.asarray(
+        moments_to_features_mm(
+            jnp.asarray(np.transpose(raw, (0, 2, 1))),
+            rad_n=rad_n, ele_n=ele_n, azi_n=azi_n, delta=delta,
+        )
+    )
+    np.testing.assert_allclose(np.transpose(got, (0, 2, 1)), want,
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pool_cell_moments_moments_major_layout():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bufferx_tpu.geometry.moments import pool_cell_moments
+
+    rs = np.random.RandomState(5)
+    pa = jnp.asarray(rs.randn(9, 64, 3).astype(np.float32) * 0.3)
+    ma = jnp.asarray(rs.rand(9, 64) > 0.2)
+    a = np.asarray(pool_cell_moments(pa, ma, rad_n=2, ele_n=3, azi_n=4,
+                                     delta=0.8))
+    b = np.asarray(pool_cell_moments(pa, ma, rad_n=2, ele_n=3, azi_n=4,
+                                     delta=0.8, moments_major=True))
+    np.testing.assert_allclose(np.transpose(b, (0, 2, 1)), a, rtol=1e-6)

@@ -302,30 +302,49 @@ class TestSplitBatchPath:
 
 class TestClutterFilterMaskPropagation:
     def test_filtered_points_stay_out_of_patches(self, cfg_params):
-        """Round-3 ADVICE fix: with clutter_filter on, the block ball
-        query must not re-admit filtered-out points into patches. Proxy
-        check: both ball-query paths (flat d2-based and two-level block)
-        agree that heavy clutter around an isolated region is excluded —
-        pose recovery succeeds identically with both paths."""
-        cfg, params = cfg_params
-        rs = np.random.RandomState(77)
-        s, t, T = synthetic_pair_full_overlap(rs, num_points=1500)
-        # add volumetric clutter to both clouds
-        def with_clutter(p):
-            lo, hi = p.min(0), p.max(0)
-            out = rs.uniform(lo - 0.2, hi + 0.2, (200, 3)).astype(np.float32)
-            return np.concatenate([p, out])
+        """Round-3 ADVICE fix: with clutter_filter on, every ball-query
+        path must see the FILTERED mask — filtered-out points must never
+        appear in patches. Checked directly: each selected patch
+        coordinate must match a surviving cloud point (the previous
+        proxy — pose recovery with UNTRAINED params — was a coin flip
+        and broke on any change to solver randomness)."""
+        cfg, _params = cfg_params
+        from bufferx_tpu.geometry.patches import select_patches
+        from bufferx_tpu.kernels.density import density_inlier_mask
+        from bufferx_tpu.kernels.neighbors import masked_sqdist
 
-        cfg_f = cfg.override(data=dict(clutter_filter=True))
+        rs = np.random.RandomState(77)
+        s, _t, _T = synthetic_pair_full_overlap(rs, num_points=1500)
+        lo, hi = s.min(0), s.max(0)
+        clutter = rs.uniform(lo - 0.2, hi + 0.2, (200, 3)).astype(np.float32)
+        cloud = prepare_cloud(np.concatenate([s, clutter]), cfg, seed=0)
+
+        fmask = density_inlier_mask(cloud.xyz, cloud.mask)
+        removed = np.asarray(cloud.mask & ~fmask)
+        assert removed.sum() > 20, "filter must actually drop clutter"
+        removed_pts = np.asarray(cloud.xyz)[removed]
+
+        kpts = np.asarray(cloud.xyz)[np.asarray(fmask)][:64]
+        km = jnp.ones(len(kpts), bool)
+        d2 = masked_sqdist(jnp.asarray(kpts), cloud.xyz, km, fmask)
         for use_blocks in (False, True):
-            c = cfg_f.override(patch=dict(block_ball_query=use_blocks))
-            res = register_pair(
-                c,
-                prepare_cloud(with_clutter(s), c, seed=0),
-                prepare_cloud(with_clutter(t), c, seed=1),
-                jax.random.PRNGKey(3),
-                params=params,
+            patches, pmask = select_patches(
+                cloud.xyz, fmask, jnp.asarray(kpts), jnp.float32(0.6),
+                jax.random.PRNGKey(3), cfg.patch.num_points_per_patch,
+                d2=d2, use_blocks=use_blocks,
+                block=cfg.patch.bq_block,
+                cand_blocks=cfg.patch.bq_cand_blocks,
             )
-            assert bool(res.valid)
-            assert float(se3.compute_rte(res.pose, jnp.asarray(T))) < \
-                cfg.test.rte_thresh
+            sel = np.asarray(patches)[np.asarray(pmask)]     # [M, 3]
+            if len(sel) == 0:
+                continue
+            dmin = np.min(
+                np.linalg.norm(
+                    sel[:, None, :] - removed_pts[None, :, :], axis=-1
+                ),
+                axis=-1,
+            )
+            assert np.all(dmin > 1e-6), (
+                f"use_blocks={use_blocks}: a filtered-out point re-entered "
+                f"the patches (min dist {dmin.min()})"
+            )
