@@ -63,7 +63,7 @@ def main() -> int:
     # describe one configuration.
     here = os.path.dirname(os.path.abspath(__file__))
     ckpt = ""
-    for name in ("hard_moments_r3ft", "hard_moments_r3", "hard_moments", "synthetic_moments"):
+    for name in ("hard_moments_r4ft2", "hard_moments_r3ft", "hard_moments_r3", "hard_moments", "synthetic_moments"):
         cand = os.path.join(here, "snapshot", name)
         if os.path.isdir(cand):
             ckpt = cand

@@ -185,7 +185,13 @@ class MatchConfig:
 
     pose_estimator: str = "ransac"        # "ransac" | "gnc"
     dist_th: float = 0.10
-    inlier_th: float = 1.0 / 3.0
+    # cross-scale consensus threshold scale (thr_j = ||ss_j|| * pi/azi_n
+    # * inlier_th). The round-1..3 value (1/3, the reference's) was the
+    # LOW-OVERLAP bottleneck: the round-4 sweep (SWEEP_r4_*.jsonl, full
+    # gates GATE_r04_ft2_inl*.jsonl) shows every gate cell improves or
+    # holds up to ~1.25 (mean 0.587 -> 0.713 on the shipping
+    # checkpoint); the plateau spans ~0.75-1.5.
+    inlier_th: float = 1.25
     similar_th: float = 0.8
     confidence: float = 0.999
     iter_n: int = 50000                   # reference RANSAC iteration budget

@@ -44,7 +44,7 @@ def main() -> int:
                          "(register_batch_split) instead of the fused one")
     ap.add_argument("--only", default="",
                     help="substring filter on combo names")
-    ap.add_argument("--checkpoint-dir", default="snapshot/hard_moments_r3ft")
+    ap.add_argument("--checkpoint-dir", default="snapshot/hard_moments_r4ft2")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 

@@ -50,7 +50,7 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--checkpoint-dir", default="snapshot/hard_moments_r3ft")
+    ap.add_argument("--checkpoint-dir", default="snapshot/hard_moments_r4ft2")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 

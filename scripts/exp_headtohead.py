@@ -40,7 +40,7 @@ def main() -> int:
     ap.add_argument("--full-scales", action="store_true",
                     help="measure the full multi-scale program instead of "
                          "scale-0")
-    ap.add_argument("--checkpoint-dir", default="snapshot/hard_moments_r3ft")
+    ap.add_argument("--checkpoint-dir", default="snapshot/hard_moments_r4ft2")
     ap.add_argument("--out", default="")
     ap.add_argument("--chunks", action="store_true",
                     help="sweep capacity.sphere_query_chunk instead of the "
