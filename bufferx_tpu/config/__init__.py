@@ -166,6 +166,15 @@ class PatchConfig:
     # strided (= uniform random, clouds are pre-shuffled) subset leaves
     # the 1-cm-rounded estimate unchanged to well within its own noise.
     radius_subsample: int = 4
+    # SPT moment pooling point-subsample stride: pool cell moments over
+    # every ``spt_pool_subsample``-th patch point and rescale the sums by
+    # the stride (an unbiased full-patch estimate). MEASURED DEAD END at
+    # stride 2 with the shipped checkpoint: only -1.2 ms/pair end to end
+    # (the stage fuses well in context, HEADTOHEAD_r4_poolsub.jsonl) and
+    # the hard gate COLLAPSES 0.713 -> 0.105 (GATE_r04_sub2.jsonl) — the
+    # descriptor is calibrated to exact-moment statistics. Keep 1 unless
+    # the checkpoint was TRAINED with the same stride.
+    spt_pool_subsample: int = 1
     # batch the multi-scale candidate chains through ONE traced body
     # (vmap over the radius index): scales run identical programs that
     # differ only in radius, so batching them 3x's the conv/matmul batch,

@@ -117,6 +117,7 @@ class PipelineStatics:
     bq_cand_blocks: int = 64       # candidate blocks per center
     strat_ball_query: bool = False  # gather-free stratified ball query
     radius_subsample: int = 1       # point-column stride in radius est.
+    spt_pool_subsample: int = 1     # SPT pooling point stride (unbiased)
     vmap_scales: bool = True        # batch the scales through one chain
 
     @classmethod
@@ -157,6 +158,7 @@ class PipelineStatics:
             bq_cand_blocks=cfg.patch.bq_cand_blocks,
             strat_ball_query=cfg.patch.strat_ball_query,
             radius_subsample=cfg.patch.radius_subsample,
+            spt_pool_subsample=cfg.patch.spt_pool_subsample,
             vmap_scales=cfg.patch.vmap_scales,
         )
 
@@ -223,12 +225,20 @@ def _spt_features(normed, pmask, statics: PipelineStatics):
         # moments-MAJOR layout end-to-end ([K, 10, G]: cells on lanes) —
         # the Pallas kernel emits it natively and the derotation +
         # descriptor stem consume it without a relayout
+        sub = statics.spt_pool_subsample
+        if sub > 1:
+            # unbiased moment estimate over a uniform (strided — patch
+            # rows arrive shuffled) subset: sums rescale by the stride
+            normed = normed[:, ::sub]
+            pmask = pmask[:, ::sub]
         raw = pool_cell_moments(
             normed, pmask,
             rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
             delta=statics.delta, chunk=statics.sphere_chunk,
             moments_major=True,
         )
+        if sub > 1:
+            raw = raw * jnp.float32(sub)
         return moments_to_features_mm(
             raw, rad_n=statics.rad_n, ele_n=statics.ele_n,
             azi_n=statics.azi_n, delta=statics.delta,

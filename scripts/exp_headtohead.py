@@ -122,6 +122,9 @@ def main() -> int:
             ("strat+unrolled-scales",
              dict(cf=False, bq=False, b=32, c=64, st=True, vm=False),
              False),
+            ("strat+unrolled+poolsub2",
+             dict(cf=False, bq=False, b=32, c=64, st=True, vm=False,
+                  sub=2), False),
         ]
     elif args.chunks:
         combos = [
@@ -148,7 +151,8 @@ def main() -> int:
             patch=dict(block_ball_query=o["bq"], bq_block=o["b"],
                        bq_cand_blocks=o["c"],
                        strat_ball_query=o.get("st", False),
-                       vmap_scales=o.get("vm", True)),
+                       vmap_scales=o.get("vm", True),
+                       spt_pool_subsample=o.get("sub", 1)),
         )
         if "chunk" in o:
             cfg = cfg.override(capacity=dict(sphere_query_chunk=o["chunk"]))
