@@ -43,11 +43,21 @@ _QBITS = 24
 _QMASK = (1 << _QBITS) - 1
 
 
-def _quantize(pts: jnp.ndarray):
-    """Per-coordinate bbox quantization to _QBITS. Returns (q [N,3] int32,
+def _quantize(pts: jnp.ndarray, mask: jnp.ndarray | None = None):
+    """Per-coordinate bbox quantization to _QBITS over VALID rows only
+    (zero padding rows would otherwise inflate the box toward the origin
+    for off-origin clouds, costing resolution). Returns (q [N,3] int32,
     lo [3], res [3])."""
-    lo = jnp.min(pts, axis=0)
-    hi = jnp.max(pts, axis=0)
+    if mask is None:
+        lo = jnp.min(pts, axis=0)
+        hi = jnp.max(pts, axis=0)
+    else:
+        m = mask[:, None]
+        lo = jnp.min(jnp.where(m, pts, jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(m, pts, -jnp.inf), axis=0)
+        # all-invalid cloud: fall back to a degenerate box at the origin
+        lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+        hi = jnp.where(jnp.isfinite(hi), hi, 0.0)
     res = jnp.maximum(hi - lo, 1e-9) / _QMASK
     q = jnp.clip(
         jnp.round((pts - lo) / res), 0, _QMASK
@@ -148,8 +158,16 @@ def ball_query_stratified_multi(
     s = nsample
     assert n % s == 0, "cloud capacity must divide nsample"
     l = n // s
+    # the packed encoding is score << _QBITS | coord in int32: scores run
+    # 0..l inclusive, so l must fit the (31 - _QBITS) bits above the
+    # coordinate field or the sign bit silently corrupts the min-reduction
+    assert l < (1 << (31 - _QBITS)), (
+        f"max_points/nsample = {l} overflows the packed int32 encoding "
+        f"(must be < {1 << (31 - _QBITS)}); use a larger nsample or the "
+        "per-scale query path"
+    )
     num_r = radii.shape[0]
-    q, lo, res = _quantize(pts)
+    q, lo, res = _quantize(pts, pts_mask)
     off = jax.random.randint(key, (kq, s), 0, l, dtype=jnp.int32)
     radii2 = (radii * radii).astype(jnp.float32)
 

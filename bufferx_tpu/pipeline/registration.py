@@ -118,7 +118,10 @@ class PipelineStatics:
     strat_ball_query: bool = False  # gather-free stratified ball query
     radius_subsample: int = 1       # point-column stride in radius est.
     spt_pool_subsample: int = 1     # SPT pooling point stride (unbiased)
-    vmap_scales: bool = True        # batch the scales through one chain
+    # scale batching OFF by default (matches PatchConfig.vmap_scales: the
+    # unrolled per-scale chain measured 76.3 vs 90.6 ms/pair post-kernels,
+    # HEADTOHEAD_r4_kernels); from_config always overrides this anyway
+    vmap_scales: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config) -> "PipelineStatics":
@@ -386,9 +389,24 @@ def _precompute(statics: PipelineStatics, src: Cloud, tgt: Cloud,
     # build dominates those stages; only the radius threshold varies)
     # compensated one-pass bf16 build (~6x cheaper than the HIGHEST f32
     # path on the MXU; error <= 2^-16 |a||b| — sub-mm at scene scale, far
-    # inside the voxel-size noise floor of every radius threshold)
-    d2_src = masked_sqdist(s_probe, src.xyz, s_v, src.mask, precise=False)
-    d2_tgt = masked_sqdist(t_probe, tgt.xyz, t_v, tgt.mask, precise=False)
+    # inside the voxel-size noise floor of every radius threshold).
+    # The dropped lo*lo term scales with |a||b| — distance from the
+    # ORIGIN, not cloud extent — so map-frame clouds ~100 m out would see
+    # ~0.15 m^2 d2 error. Distances are translation-invariant: center
+    # both operands on the valid-point centroid first (downstream
+    # consumers only ever read d2, never these shifted coordinates).
+    def _centroid(xyz, m):
+        w = m.astype(jnp.float32)[:, None]
+        return jnp.sum(xyz * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+
+    c_src = _centroid(src.xyz, src.mask)
+    c_tgt = _centroid(tgt.xyz, tgt.mask)
+    d2_src = masked_sqdist(
+        s_probe - c_src, src.xyz - c_src, s_v, src.mask, precise=False
+    )
+    d2_tgt = masked_sqdist(
+        t_probe - c_tgt, tgt.xyz - c_tgt, t_v, tgt.mask, precise=False
+    )
 
     # density-aware radii from the denser cloud (reference :654-659)
     use_src = jnp.sum(src.mask) > jnp.sum(tgt.mask)
@@ -406,6 +424,8 @@ def _precompute(statics: PipelineStatics, src: Cloud, tgt: Cloud,
         and scales is not None
         and statics.strat_ball_query
         and statics.max_points % statics.patch_sample == 0
+        # packed int32 rank|coord encoding bound (strat_pallas._QBITS)
+        and statics.max_points // statics.patch_sample < (1 << 7)
     ):
         from bufferx_tpu.kernels.strat_pallas import (
             ball_query_stratified_multi,
