@@ -186,6 +186,21 @@ class PatchConfig:
     # (HEADTOHEAD_r4_kernels.jsonl) — the batched program's layouts cost
     # more than the batch amortizes.
     vmap_scales: bool = False
+    # Serving: run the descriptor's 8-layer cylindrical conv stack as one
+    # fused Pallas program with inference-BN folded into the weights and
+    # activations VMEM-resident across layers (kernels/conv_pallas.py).
+    # Default OFF: measured 2.6x slower than XLA's conv emitter (the MXU's
+    # native convolution mode streams each input row into all three
+    # elevation taps; a dot-based Pallas formulation cannot — round-5
+    # probes, RESULTS.md). Kept as a documented, parity-tested negative.
+    fused_conv: bool = False
+    # Serving: concatenate all scales' SPT features (and matched equi
+    # pairs) so each conv stack runs ONCE per program instead of once per
+    # scale. Identical row-independent math. Default OFF: measured 73.6 vs
+    # 71.7 ms/pair at B=8 full 3-scale (HEADTOHEAD_r5_sbc.jsonl) — the
+    # per-scale calls already amortize call overhead at B=8, and the
+    # concats add memory traffic. Kept for smaller-batch serving modes.
+    scale_batch_conv: bool = False
 
 
 @dataclass(frozen=True)

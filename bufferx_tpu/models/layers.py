@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -20,6 +21,7 @@ __all__ = [
     "pad_cyl_3d",
     "ConvBNRelu",
     "CylindricalConvNet",
+    "FusedCylindricalConvNet",
     "CylindricalUNet",
 ]
 
@@ -117,6 +119,92 @@ class CylindricalConvNet(nn.Module):
         x = ConvBNRelu(self.dim, (3, 3), use_bn=False, use_relu=False,
                        compute_dtype=dt)(pad_cyl_2d(x, 3), train)
         return x, mid
+
+
+class _ConvBNVars(nn.Module):
+    """Declares one ConvBNRelu layer's variables (same tree paths as
+    :class:`ConvBNRelu`: ``Conv_0/{kernel, bias}`` params and
+    ``BatchNorm_0/{mean, var}`` batch_stats) WITHOUT running its forward
+    — the fused serving kernel consumes them directly."""
+
+    kshape: tuple
+    feats: int
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self):
+        from bufferx_tpu.models.heads import _ConvParamHolder
+
+        kernel, bias = _ConvParamHolder(
+            self.kshape, self.feats, name="Conv_0"
+        )()
+        if not self.use_bn:
+            return kernel, bias, None, None
+        mean, var = _BNStatsHolder(self.feats, name="BatchNorm_0")()
+        return kernel, bias, mean, var
+
+
+class _BNStatsHolder(nn.Module):
+    """Running-statistics variables of an affine-free ``nn.BatchNorm``
+    (collection ``batch_stats``, names ``mean``/``var``)."""
+
+    feats: int
+
+    @nn.compact
+    def __call__(self):
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.feats,))
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.feats,))
+        )
+        return mean.value, var.value
+
+
+class FusedCylindricalConvNet(nn.Module):
+    """Inference-only :class:`CylindricalConvNet` running as ONE fused
+    Pallas program (``kernels/conv_pallas.py``): BatchNorm folded into
+    the conv weights, activations VMEM-resident across all 8 layers.
+
+    The parameter tree is IDENTICAL to ``CylindricalConvNet`` (same
+    child names, shapes, collections), so the two are checkpoint- and
+    init-interchangeable; numerics match the ``compute_dtype=bfloat16``
+    flax path up to bf16 association (parity-tested against
+    ``cyl_conv_stack_reference``). Fixed geometry: rad 3, ele 7, azi 20,
+    16 stem channels. Off-TPU backends run the pure-jax mirror.
+    """
+
+    dim: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from bufferx_tpu.kernels.conv_pallas import (
+            cyl_conv_stack_fused,
+            cyl_conv_stack_reference,
+            fold_cyl_stack,
+        )
+
+        assert not train, "fused conv stack is a serving-only path"
+        assert x.shape[-4:] == (3, 7, 20, 16), x.shape
+        specs = [(64, (3, 3, 3, 16, 64))] + [
+            (co, (3, 3, ci, co))
+            for ci, co in ((64, 64), (64, 128), (128, 128), (128, 64),
+                           (64, 64), (64, 32), (32, self.dim))
+        ]
+        layers = []
+        for i, (feats, kshape) in enumerate(specs):
+            layers.append(
+                _ConvBNVars(
+                    kshape, feats, use_bn=i < len(specs) - 1,
+                    name=f"ConvBNRelu_{i}",
+                )()
+            )
+        w, b = fold_cyl_stack(layers)
+        if jax.default_backend() == "tpu":
+            out = cyl_conv_stack_fused(x, w, b, dim=self.dim)
+        else:
+            out = cyl_conv_stack_reference(x, w, b, dim=self.dim)
+        return out, None
 
 
 class CylindricalUNet(nn.Module):

@@ -107,6 +107,11 @@ class MiniSpinNet(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     mode: str = "sampled"    # "sampled" | "moments"
     pool: str = "gated"      # "gated" | "softmax"
+    # serving path: run the 8-layer conv stack as one fused Pallas
+    # program (kernels/conv_pallas.py; checkpoint-identical param tree).
+    # Silently ignored when the geometry or dtype doesn't match the
+    # kernel's fixed shape, and always ignored in training.
+    fused_conv: bool = False
 
     @nn.compact
     def __call__(self, inv_patches: jnp.ndarray, train: bool = False):
@@ -137,10 +142,23 @@ class MiniSpinNet(nn.Module):
             x = jnp.max(x, axis=2)                          # [K, G, 16]
         x = x.reshape(k, self.rad_n, self.ele_n, self.azi_n, 16)
 
-        x, _mid = CylindricalConvNet(
-            dim=self.dim, bn_axis_name=ax, compute_dtype=dt,
-            name="CylindricalConvNet_0",
-        )(x, train)
+        use_fused = (
+            self.fused_conv
+            and not train
+            and (self.rad_n, self.ele_n, self.azi_n) == (3, 7, 20)
+            and self.compute_dtype == jnp.bfloat16
+        )
+        if use_fused:
+            from bufferx_tpu.models.layers import FusedCylindricalConvNet
+
+            x, _mid = FusedCylindricalConvNet(
+                dim=self.dim, name="CylindricalConvNet_0"
+            )(x, train)
+        else:
+            x, _mid = CylindricalConvNet(
+                dim=self.dim, bn_axis_name=ax, compute_dtype=dt,
+                name="CylindricalConvNet_0",
+            )(x, train)
         # x: [K, ele, azi, 32]
 
         # attention pooling (see class docstring for the two designs)

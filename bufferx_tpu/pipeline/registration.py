@@ -122,6 +122,12 @@ class PipelineStatics:
     # unrolled per-scale chain measured 76.3 vs 90.6 ms/pair post-kernels,
     # HEADTOHEAD_r4_kernels); from_config always overrides this anyway
     vmap_scales: bool = False
+    # Pallas fused desc conv stack: measured 2.6x SLOWER than XLA's conv
+    # emitter (round-5 probes, RESULTS.md) — kept as a documented negative
+    fused_conv: bool = False
+    # one conv call across all scales — measured neutral-to-slightly-worse
+    # at B=8 (HEADTOHEAD_r5_sbc.jsonl); default matches PatchConfig
+    scale_batch_conv: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config) -> "PipelineStatics":
@@ -163,6 +169,8 @@ class PipelineStatics:
             radius_subsample=cfg.patch.radius_subsample,
             spt_pool_subsample=cfg.patch.spt_pool_subsample,
             vmap_scales=cfg.patch.vmap_scales,
+            fused_conv=cfg.patch.fused_conv,
+            scale_batch_conv=cfg.patch.scale_batch_conv,
         )
 
 
@@ -254,19 +262,16 @@ def _spt_features(normed, pmask, statics: PipelineStatics):
     )
 
 
-def _embed_two(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
-               src_kpts, tgt_kpts, des_r, is_aligned, key, desc_model,
-               d2_src=None, d2_tgt=None, pre_patches=None):
-    """Both clouds' keypoints through one geometric+model pass.
-
-    Patch extraction/LRF/SPT are per-keypoint ops, and the conv net is
-    weight-bound at these batch sizes — stacking src and tgt (2K patches)
-    costs the same math but loads the weights once. ``d2_src``/``d2_tgt``
-    are the precomputed keypoint-to-cloud distance matrices (shared across
-    scales — only the radius changes per scale). ``pre_patches``
-    ((sp, sm, tp, tm)) skips patch selection entirely — the fused
-    multi-radius stratified kernel selects every scale's patches in one
-    pass during precompute."""
+def _embed_geom(statics: PipelineStatics, src: Cloud, tgt: Cloud,
+                src_kpts, tgt_kpts, des_r, is_aligned, key,
+                d2_src=None, d2_tgt=None, pre_patches=None):
+    """Geometric half of :func:`_embed_two`: patch selection, LRF
+    alignment, SPT features — everything up to (but excluding) the
+    descriptor-net apply. Split out so the scale-batched serving path can
+    run the geometry per scale (the round-4 kernels prefer the unrolled
+    chain) while batching ALL scales through ONE conv-stack call
+    (the conv calls pay a large per-call context overhead — round-5
+    finding, CONVCTX_r5). Returns ``(inv, R)``."""
     if pre_patches is not None:
         sp, sm, tp, tm = pre_patches
     else:
@@ -292,6 +297,31 @@ def _embed_two(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
     aligned, _rand_axis, R = align_patches(delta, kpts, is_aligned)
     normed = aligned / des_r
     inv = _spt_features(normed, pmask, statics)
+    if statics.use_bf16:
+        # the descriptor stem's first act is a cast to the compute dtype;
+        # casting here instead halves the feature buffer a scale-batched
+        # caller concatenates (same values reach the net either way)
+        inv = inv.astype(jnp.bfloat16)
+    return inv, R
+
+
+def _embed_two(params, statics: PipelineStatics, src: Cloud, tgt: Cloud,
+               src_kpts, tgt_kpts, des_r, is_aligned, key, desc_model,
+               d2_src=None, d2_tgt=None, pre_patches=None):
+    """Both clouds' keypoints through one geometric+model pass.
+
+    Patch extraction/LRF/SPT are per-keypoint ops, and the conv net is
+    weight-bound at these batch sizes — stacking src and tgt (2K patches)
+    costs the same math but loads the weights once. ``d2_src``/``d2_tgt``
+    are the precomputed keypoint-to-cloud distance matrices (shared across
+    scales — only the radius changes per scale). ``pre_patches``
+    ((sp, sm, tp, tm)) skips patch selection entirely — the fused
+    multi-radius stratified kernel selects every scale's patches in one
+    pass during precompute."""
+    inv, R = _embed_geom(
+        statics, src, tgt, src_kpts, tgt_kpts, des_r, is_aligned, key,
+        d2_src=d2_src, d2_tgt=d2_tgt, pre_patches=pre_patches,
+    )
     out = desc_model.apply(params["desc"], inv, train=False)
     return out["desc"], out["equi"], R
 
@@ -508,6 +538,84 @@ def _scale_candidates(params, statics: PipelineStatics, src: Cloud,
     )
 
 
+def _scale_candidates_conv_batched(params, statics: PipelineStatics,
+                                   src: Cloud, tgt: Cloud, pre: _Shared,
+                                   scales: tuple, is_aligned, keys,
+                                   desc_model, pose_model) -> list:
+    """All scales' candidates with the GEOMETRY unrolled per scale but the
+    two conv stacks called ONCE each on the scale-concatenated batch.
+
+    Round-5 finding (CONVCTX_r5, RESULTS.md): inside the big program the
+    per-scale conv calls cost ~3x their isolated time — most of it a
+    per-call overhead that amortizes with batch. Concatenating the three
+    scales' SPT features into one descriptor-net call and the three
+    scales' matched equivariant pairs into one cost-volume call executes
+    IDENTICAL per-patch math (BatchNorm runs on frozen running stats;
+    every op is row-independent), so results match the unrolled path
+    bit-for-bit while paying the call overhead once instead of three
+    times per stage."""
+    nf = statics.num_fps
+    srcM = Cloud(src.xyz, pre.src_mask)
+    tgtM = Cloud(tgt.xyz, pre.tgt_mask)
+
+    invs, Rs = [], []
+    for j, s in enumerate(scales):
+        pre_patches = None
+        if pre.src_patches is not None:
+            pre_patches = (
+                pre.src_patches[j], pre.src_pvalid[j],
+                pre.tgt_patches[j], pre.tgt_pvalid[j],
+            )
+        inv_j, R_j = _embed_geom(
+            statics, srcM, tgtM, pre.src_kpts, pre.tgt_kpts,
+            jnp.maximum(pre.radii[s], 1e-3), is_aligned, keys[j],
+            d2_src=pre.d2_src[:nf], d2_tgt=pre.d2_tgt[:nf],
+            pre_patches=pre_patches,
+        )
+        invs.append(inv_j)
+        Rs.append(R_j)
+
+    out = desc_model.apply(
+        params["desc"], jnp.concatenate(invs), train=False
+    )
+    k2 = 2 * nf
+    e = statics.ele_n
+    per_scale = []
+    eq_pairs = []
+    for j in range(len(scales)):
+        desc2 = out["desc"][j * k2 : (j + 1) * k2]
+        equi2 = out["equi"][j * k2 : (j + 1) * k2]
+        s_desc, t_desc = desc2[:nf], desc2[nf:]
+        s_equi, t_equi = equi2[:nf], equi2[nf:]
+        R2 = Rs[j]
+        nn, mutual, nn_d2 = mutual_nearest(
+            s_desc, t_desc, pre.src_kpts_v, pre.tgt_kpts_v
+        )
+        tt_kpts = pre.tgt_kpts[nn]
+        per_scale.append((tt_kpts, R2[:nf], R2[nf:][nn], mutual, nn_d2))
+        eq_pairs.append(
+            (s_equi[:, :, 1 : e - 1], t_equi[nn][:, :, 1 : e - 1])
+        )
+
+    ind_all = pose_model.apply(
+        params["pose"],
+        jnp.concatenate([p[0] for p in eq_pairs]),
+        jnp.concatenate([p[1] for p in eq_pairs]),
+        train=False,
+    )
+    cands = []
+    for j, (tt_kpts, ss_R, tt_R, mutual, nn_d2) in enumerate(per_scale):
+        R_c, t_c = so2_pose_candidates(
+            pre.src_kpts, tt_kpts, ss_R, tt_R,
+            ind_all[j * nf : (j + 1) * nf], statics.azi_n,
+        )
+        cands.append(
+            _Candidates(ss=pre.src_kpts, tt=tt_kpts, Rc=R_c, tc=t_c,
+                        valid=mutual, d2=nn_d2)
+        )
+    return cands
+
+
 def _cat_candidates(cands: list) -> _Candidates:
     return _Candidates(*(jnp.concatenate(xs) for xs in zip(*cands)))
 
@@ -529,6 +637,11 @@ def _all_scale_candidates(params, statics: PipelineStatics, src: Cloud,
     sliced), so downstream early-exit/consensus logic is unchanged.
     """
     if not statics.vmap_scales or len(scales) == 1:
+        if statics.scale_batch_conv and len(scales) > 1:
+            return _scale_candidates_conv_batched(
+                params, statics, src, tgt, pre, scales, is_aligned,
+                keys, desc_model, pose_model,
+            )
         return [
             _scale_candidates(
                 params, statics, src, tgt, pre, s, is_aligned,
@@ -618,6 +731,7 @@ def _models_from_statics(statics: PipelineStatics):
     desc = MiniSpinNet(
         rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
         compute_dtype=dt, mode=statics.desc_mode, pool=statics.desc_pool,
+        fused_conv=statics.fused_conv,
     )
     pose = CostVolume(azi_n=statics.azi_n, compute_dtype=dt)
     return desc, pose

@@ -48,6 +48,9 @@ def main() -> int:
     ap.add_argument("--geom", action="store_true",
                     help="sweep block-ball-query geometries (block x "
                          "cand_blocks) against the flat path")
+    ap.add_argument("--r5", action="store_true",
+                    help="round-5 sweep: scale-batched conv calls vs the "
+                         "r4-shipped per-scale calls")
     args = ap.parse_args()
 
     import jax
@@ -108,7 +111,14 @@ def main() -> int:
     keys = jax.random.split(jax.random.PRNGKey(7), B)
 
     # candidates: (name, cfg-overrides, split?)
-    if args.geom:
+    if args.r5:
+        shipped = dict(cf=False, bq=False, b=32, c=64, st=True, vm=False)
+        combos = [
+            ("r4-shipped (per-scale conv)", dict(**shipped, sbc=False),
+             False),
+            ("scale-batched conv", dict(**shipped, sbc=True), False),
+        ]
+    elif args.geom:
         # Round-4 sweep: the round-3 "blocks32x64" rows were a fallback
         # artifact (30000 % 32 != 0 silently ran the flat path) — this is
         # the first honest block-vs-flat ranking at production shapes.
@@ -152,7 +162,8 @@ def main() -> int:
                        bq_cand_blocks=o["c"],
                        strat_ball_query=o.get("st", False),
                        vmap_scales=o.get("vm", True),
-                       spt_pool_subsample=o.get("sub", 1)),
+                       spt_pool_subsample=o.get("sub", 1),
+                       scale_batch_conv=o.get("sbc", True)),
         )
         if "chunk" in o:
             cfg = cfg.override(capacity=dict(sphere_query_chunk=o["chunk"]))

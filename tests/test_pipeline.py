@@ -118,6 +118,31 @@ class TestRegisterPair:
             rte = float(se3.compute_rte(res.pose[i], jnp.asarray(gts[i])))
             assert rte < cfg.test.rte_thresh
 
+    def test_scale_batched_conv_matches_unrolled(self, cfg_params):
+        """scale_batch_conv concatenates the scales through ONE conv call;
+        the math is row-independent, so results must match the unrolled
+        per-scale path."""
+        cfg, params = cfg_params
+        rs = np.random.RandomState(11)
+        src_pts, tgt_pts, _ = synthetic_pair_full_overlap(rs, num_points=2500)
+        src = prepare_cloud(src_pts, cfg, seed=5)
+        tgt = prepare_cloud(tgt_pts, cfg, seed=5)
+        key = jax.random.PRNGKey(7)
+        res = {}
+        for on in (True, False):
+            statics = PipelineStatics.from_config(
+                cfg.override(patch=dict(scale_batch_conv=on))
+            )
+            res[on] = register_pair_jit(
+                params, statics, src, tgt, jnp.asarray(False), key
+            )
+        np.testing.assert_allclose(
+            np.asarray(res[True].pose), np.asarray(res[False].pose),
+            atol=1e-5,
+        )
+        assert int(res[True].num_mutual) == int(res[False].num_mutual)
+        assert int(res[True].num_inliers) == int(res[False].num_inliers)
+
     def test_early_exit_masked_variant(self, cfg_params):
         cfg, params = cfg_params
         cfg_ee = cfg.override(
