@@ -59,6 +59,10 @@ def parse_args():
     ap.add_argument("--fast", action="store_true",
                     help="shrunken capacities for smoke runs (esp. --cpu)")
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--batched", type=int, default=0, metavar="B",
+                    help="evaluate on the vmapped throughput path with "
+                         "batch size B (same per-sample CSV/RMSE artifacts "
+                         "as the sequential path)")
     ap.add_argument("--enable-timing", action="store_true",
                     help="per-phase desc/pose/pose-optim timing in the CSV "
                          "(separately fenced stage programs)")
@@ -177,15 +181,25 @@ def main():
         print(f"loaded staged checkpoints from {args.checkpoint_dir}")
 
     out_dir = os.path.join(args.out_dir, args.experiment_id)
-    summary = evaluate_pairs(
-        cfg, pairs, params,
-        csv_path=os.path.join(out_dir, f"{args.dataset}_per_sample.csv"),
-        summary_csv_path=os.path.join(out_dir, "summary.csv"),
-        log=print,
-        profile_dir=args.profile_dir,
-        progress=args.progress,
-        enable_timing=args.enable_timing,
-    )
+    if args.batched:
+        from bufferx_tpu.eval.harness import evaluate_pairs_batched
+
+        summary = evaluate_pairs_batched(
+            cfg, list(pairs), params, batch_size=args.batched,
+            csv_path=os.path.join(out_dir, f"{args.dataset}_per_sample.csv"),
+            summary_csv_path=os.path.join(out_dir, "summary.csv"),
+        )
+        print(f"pairs/s (steady-state): {summary['pairs_per_second']:.2f}")
+    else:
+        summary = evaluate_pairs(
+            cfg, pairs, params,
+            csv_path=os.path.join(out_dir, f"{args.dataset}_per_sample.csv"),
+            summary_csv_path=os.path.join(out_dir, "summary.csv"),
+            log=print,
+            profile_dir=args.profile_dir,
+            progress=args.progress,
+            enable_timing=args.enable_timing,
+        )
     rows = summary.pop("rows")
 
     # 3DMatch protocol: write trajectories + RMSE re-scoring when gt.info is

@@ -84,8 +84,14 @@ def main():
                          "(fine-tuning continuation)")
     ap.add_argument("--lr-scale", type=float, default=1.0,
                     help="scale both stage learning rates (fine-tune runs)")
+    ap.add_argument("--phases", default="",
+                    help="JSON list of Desc phases "
+                         "[{\"steps\": N, ...hard_training_stream knobs}] — "
+                         "overrides --curriculum's schedule (targeted "
+                         "fine-tune tails at specific gate cells); implies "
+                         "--hard. Pose keeps the mid-hard distribution.")
     args = ap.parse_args()
-    if args.curriculum:
+    if args.curriculum or args.phases:
         args.hard = True
 
     import jax
@@ -235,7 +241,19 @@ def main():
             del batch_pool
         return variables
 
-    if args.curriculum:
+    if args.phases:
+        spec = json.loads(args.phases)
+        desc_phases = []
+        for p in spec:
+            knobs = {k: (tuple(v) if isinstance(v, list) else v)
+                     for k, v in p.items() if k != "steps"}
+            desc_phases.append((int(p["steps"]), knobs))
+        args.steps = sum(n for n, _ in desc_phases)
+        pose_knobs = {
+            k: v for k, v in CURRICULUM[2].items() if k != "frac"
+        }
+        pose_phases = [(args.pose_steps, pose_knobs)]
+    elif args.curriculum:
         desc_phases = [
             (max(int(args.steps * p["frac"]), 1),
              {k: v for k, v in p.items() if k != "frac"})

@@ -218,6 +218,68 @@ class TestHarnessBatched:
         assert out["num_pairs"] == 4
         assert 0.0 <= out["recall"] <= 1.0
 
+    def test_batched_eval_matches_sequential_schema(self, tmp_path):
+        """The throughput path emits the SAME per-sample artifacts as the
+        sequential acceptance path: 15-col CSV (identical header + row
+        count), poses, inlier/scales stats (round-4 VERDICT weak #5)."""
+        import csv
+
+        import jax
+
+        from bufferx_tpu.config import make_cfg
+        from bufferx_tpu.data.modelnet import synthetic_pair_full_overlap
+        from bufferx_tpu.eval.harness import (
+            evaluate_pairs,
+            evaluate_pairs_batched,
+        )
+        from bufferx_tpu.pipeline.registration import init_params
+
+        cfg = make_cfg("ModelNet40").override(
+            capacity=dict(
+                max_points=1024, num_ransac_hypotheses=512,
+                ransac_chunk=128, sphere_query_chunk=32,
+            ),
+            patch=dict(
+                num_fps=128, num_points_radius_estimate=128,
+                num_points_per_patch=64, num_scales=1,
+                search_radius_thresholds=(5.0,),
+            ),
+        )
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        samples = []
+        for i in range(4):
+            rs = np.random.RandomState(i)
+            s, t, T = synthetic_pair_full_overlap(rs, num_points=900)
+            samples.append(
+                dict(src_points=s, tgt_points=t, relt_pose=T,
+                     is_aligned_to_global_z=False, src_id=i, tgt_id=i + 10)
+            )
+        seq_csv = str(tmp_path / "seq.csv")
+        bat_csv = str(tmp_path / "bat.csv")
+        seq = evaluate_pairs(
+            cfg, samples, params, csv_path=seq_csv, prefetch_workers=0
+        )
+        bat = evaluate_pairs_batched(
+            cfg, samples, params, batch_size=2, csv_path=bat_csv,
+            prefetch_workers=0,
+        )
+        with open(seq_csv) as f:
+            seq_rows = list(csv.reader(f))
+        with open(bat_csv) as f:
+            bat_rows = list(csv.reader(f))
+        assert seq_rows[0] == bat_rows[0]          # identical header
+        assert len(seq_rows) == len(bat_rows) == 5
+        # identical ids, and both carry real stats + poses
+        assert [r[:2] for r in seq_rows] == [r[:2] for r in bat_rows]
+        for r in bat["rows"]:
+            assert r["pose"].shape == (4, 4)
+            assert r["num_mutual_inliers"] >= 0
+        # summary schema: batched adds pairs_per_second only
+        seq_keys = {k for k in seq if k != "rows"}
+        bat_keys = {k for k in bat if k != "rows"}
+        assert bat_keys - seq_keys == {"pairs_per_second"}
+        assert seq_keys - bat_keys == set()
+
 
 class TestVis:
     def test_ply_roundtrip_and_correspondences(self, tmp_path):
