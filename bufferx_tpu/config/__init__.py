@@ -130,6 +130,10 @@ class PatchConfig:
     # (bare-logit softmax attention over the cylindrical grid; cannot
     # die). Baked into the checkpoint like desc_mode.
     desc_pool: str = "gated"
+    # Conv-backbone channel multiplier (capacity knob for the 0.3-overlap
+    # band — round-5). Changes parameter shapes: baked into the snapshot
+    # config like desc_mode/desc_pool. 1.0 = the reference architecture.
+    desc_width: float = 1.0
     # ball-query slot selection: approximate random top-k (cheaper) vs
     # exact. The hard-benchmark gate (scripts/exp_hard.py) quantifies the
     # quality delta between the two.

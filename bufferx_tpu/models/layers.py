@@ -95,25 +95,32 @@ class CylindricalConvNet(nn.Module):
     then seven 3x3 cylindrical convs, 32-channel affine-free output.
 
     Input  [K, rad=3, ele, azi, C_in]; output ([K, ele, azi, 32], mid).
+
+    ``width`` multiplies the internal channel counts (capacity knob for
+    the low-overlap band — round-5; the output ``dim`` and the parameter
+    NAMES are unchanged, but widened checkpoints are shape-incompatible
+    with width-1 ones, so the knob rides in the snapshot config).
     """
 
     dim: int = 32
     bn_axis_name: str | None = None
     compute_dtype: jnp.dtype = jnp.float32
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ax = self.bn_axis_name
         dt = self.compute_dtype
+        w = lambda c: max(int(round(c * self.width)), 8)  # noqa: E731
         x = pad_cyl_3d(x, 3)
-        x = ConvBNRelu(64, (3, 3, 3), bn_axis_name=ax, compute_dtype=dt)(x, train)
+        x = ConvBNRelu(w(64), (3, 3, 3), bn_axis_name=ax, compute_dtype=dt)(x, train)
         x = jnp.squeeze(x, axis=1)                    # rad 3 -> 1, drop it
         mid = x
         for feats in (64, 128, 128, 64, 64):
-            x = ConvBNRelu(feats, (3, 3), bn_axis_name=ax, compute_dtype=dt)(
+            x = ConvBNRelu(w(feats), (3, 3), bn_axis_name=ax, compute_dtype=dt)(
                 pad_cyl_2d(x, 3), train
             )
-        x = ConvBNRelu(32, (3, 3), bn_axis_name=ax, compute_dtype=dt)(
+        x = ConvBNRelu(w(32), (3, 3), bn_axis_name=ax, compute_dtype=dt)(
             pad_cyl_2d(x, 3), train
         )
         x = ConvBNRelu(self.dim, (3, 3), use_bn=False, use_relu=False,

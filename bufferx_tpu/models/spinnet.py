@@ -112,6 +112,9 @@ class MiniSpinNet(nn.Module):
     # Silently ignored when the geometry or dtype doesn't match the
     # kernel's fixed shape, and always ignored in training.
     fused_conv: bool = False
+    # conv-backbone channel multiplier (capacity knob; rides in the
+    # snapshot config — widened checkpoints are shape-incompatible)
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, inv_patches: jnp.ndarray, train: bool = False):
@@ -147,6 +150,7 @@ class MiniSpinNet(nn.Module):
             and not train
             and (self.rad_n, self.ele_n, self.azi_n) == (3, 7, 20)
             and self.compute_dtype == jnp.bfloat16
+            and self.width == 1.0
         )
         if use_fused:
             from bufferx_tpu.models.layers import FusedCylindricalConvNet
@@ -157,7 +161,7 @@ class MiniSpinNet(nn.Module):
         else:
             x, _mid = CylindricalConvNet(
                 dim=self.dim, bn_axis_name=ax, compute_dtype=dt,
-                name="CylindricalConvNet_0",
+                width=self.width, name="CylindricalConvNet_0",
             )(x, train)
         # x: [K, ele, azi, 32]
 

@@ -93,7 +93,8 @@ def make_sharded_train_step(cfg: Config, mesh: Mesh, optimizer=None,
     # BN batch stats sync over the mesh axis during training
     desc_model = MiniSpinNet(
         rad_n=cfg.patch.rad_n, ele_n=cfg.patch.ele_n, azi_n=cfg.patch.azi_n,
-        bn_axis_name=axis,
+        bn_axis_name=axis, mode=cfg.patch.desc_mode,
+        pool=cfg.patch.desc_pool, width=cfg.patch.desc_width,
     )
 
     def local_step(variables, opt_state, batch, keys):

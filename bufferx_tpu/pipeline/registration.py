@@ -110,6 +110,7 @@ class PipelineStatics:
     use_bf16: bool = True   # conv stacks in bfloat16 at inference (MXU 2x)
     desc_mode: str = "sampled"   # cell pooling: "sampled" | "moments"
     desc_pool: str = "gated"     # attention head: "gated" | "softmax"
+    desc_width: float = 1.0      # conv-backbone channel multiplier
     exact_topk: bool = False     # exact ball-query slot selection
     clutter_filter: bool = False  # density prefilter (kernels/density.py)
     block_ball_query: bool = True  # two-level block ball query
@@ -160,6 +161,7 @@ class PipelineStatics:
             kiss_resolution=cfg.match.kiss_resolution,
             desc_mode=cfg.patch.desc_mode,
             desc_pool=cfg.patch.desc_pool,
+            desc_width=cfg.patch.desc_width,
             exact_topk=cfg.patch.exact_topk,
             clutter_filter=cfg.data.clutter_filter,
             block_ball_query=cfg.patch.block_ball_query,
@@ -182,6 +184,7 @@ def build_models(cfg: Config, bn_axis_name: str | None = None):
         bn_axis_name=bn_axis_name,
         mode=cfg.patch.desc_mode,
         pool=cfg.patch.desc_pool,
+        width=cfg.patch.desc_width,
     )
     pose = CostVolume(azi_n=cfg.patch.azi_n, bn_axis_name=bn_axis_name)
     return desc, pose
@@ -731,7 +734,7 @@ def _models_from_statics(statics: PipelineStatics):
     desc = MiniSpinNet(
         rad_n=statics.rad_n, ele_n=statics.ele_n, azi_n=statics.azi_n,
         compute_dtype=dt, mode=statics.desc_mode, pool=statics.desc_pool,
-        fused_conv=statics.fused_conv,
+        fused_conv=statics.fused_conv, width=statics.desc_width,
     )
     pose = CostVolume(azi_n=statics.azi_n, compute_dtype=dt)
     return desc, pose

@@ -53,7 +53,8 @@ def save_snapshot_config(snapshot_dir: str, cfg: Config) -> str:
     with open(path, "w") as f:
         json.dump(
             {"desc_mode": cfg.patch.desc_mode,
-             "desc_pool": cfg.patch.desc_pool}, f,
+             "desc_pool": cfg.patch.desc_pool,
+             "desc_width": cfg.patch.desc_width}, f,
         )
     return path
 
@@ -71,7 +72,9 @@ def load_snapshot_config(snapshot_dir: str) -> dict:
             got = json.load(f)
     except (OSError, ValueError):
         return {}
-    return {k: got[k] for k in ("desc_mode", "desc_pool") if k in got}
+    return {k: got[k]
+            for k in ("desc_mode", "desc_pool", "desc_width")
+            if k in got}
 
 
 def make_optimizer(cfg: Config, stage: str, steps_per_epoch: int):

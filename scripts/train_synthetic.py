@@ -70,6 +70,9 @@ def main():
                     choices=["gated", "softmax"],
                     help="attention pooling head (softmax = round-4 "
                          "non-dying redesign)")
+    ap.add_argument("--desc-width", type=float, default=1.0,
+                    help="conv-backbone channel multiplier (capacity "
+                         "experiment; recorded in the snapshot config)")
     ap.add_argument("--hard", action="store_true",
                     help="hetero-robust stream: hard_training_stream "
                          "(randomized overlap/noise/density/clutter on the "
@@ -114,7 +117,7 @@ def main():
     cfg = make_cfg("ModelNet40").override(
         capacity=dict(max_points=4096, sphere_query_chunk=128),
         patch=dict(num_points_per_patch=256, desc_mode=args.desc_mode,
-                   desc_pool=args.desc_pool),
+                   desc_pool=args.desc_pool, desc_width=args.desc_width),
         train=dict(pos_num=256),
     )
     if args.lr_scale != 1.0:

@@ -262,3 +262,138 @@ def test_import_snapshot_end_to_end(ref_model, tmp_path):
     for a, b in zip(jax.tree.leaves(composed), jax.tree.leaves(template)):
         assert a.shape == b.shape
         assert bool(jnp.all(jnp.isfinite(a)))
+
+
+class TestSerializationQuirks:
+    """Torch-free parser vs real torch serialization quirks (round-5
+    VERDICT #7): shared storages, storage offsets, non-contiguous
+    strides, expanded (stride-0) views, and the dtype zoo."""
+
+    def _roundtrip(self, sd, tmp_path):
+        from bufferx_tpu.tools.torch_import import _load_without_torch
+
+        path = tmp_path / "quirks.pth"
+        torch.save(sd, str(path))
+        manual = _load_without_torch(str(path))
+        via_torch = torch.load(str(path), map_location="cpu",
+                               weights_only=True)
+        assert set(manual) == set(via_torch)
+        return manual, via_torch
+
+    def test_shared_storage_and_offsets(self, tmp_path):
+        base = torch.randn(40)
+        sd = {
+            "a": base[:10],          # offset 0, shares storage with b/c
+            "b": base[10:30],        # offset 10
+            "c": base[25:],          # overlapping view, offset 25
+            "whole": base,
+        }
+        manual, ref = self._roundtrip(sd, tmp_path)
+        for k in sd:
+            np.testing.assert_array_equal(
+                np.asarray(manual[k]), ref[k].numpy(), err_msg=k
+            )
+
+    def test_noncontiguous_strides(self, tmp_path):
+        m = torch.randn(6, 8)
+        sd = {
+            "transposed": m.t(),                   # stride (1, 8)
+            "strided_rows": m[::2],                # stride (16, 1)
+            "strided_cols": m[:, ::2],             # stride (8, 2)
+            "expanded": torch.randn(1, 5).expand(4, 5),   # stride (0, 1)
+            "scalar": torch.tensor(3.25),
+        }
+        manual, ref = self._roundtrip(sd, tmp_path)
+        for k in sd:
+            got = np.asarray(manual[k])
+            want = ref[k].numpy()
+            assert got.shape == want.shape, k
+            np.testing.assert_array_equal(got, want, err_msg=k)
+
+    def test_dtype_zoo(self, tmp_path):
+        sd = {
+            "f16": torch.randn(5, 3).half(),
+            "f64": torch.randn(5, 3).double(),
+            "f32": torch.randn(5, 3),
+            "i64": torch.arange(7),
+            "i32": torch.arange(7, dtype=torch.int32),
+            "u8": torch.arange(7, dtype=torch.uint8),
+            "bool": torch.tensor([True, False, True]),
+        }
+        manual, ref = self._roundtrip(sd, tmp_path)
+        for k in sd:
+            got = np.asarray(manual[k])
+            want = ref[k].numpy()
+            assert got.dtype == want.dtype, (k, got.dtype, want.dtype)
+            np.testing.assert_array_equal(got, want, err_msg=k)
+
+    def test_bfloat16_bits(self, tmp_path):
+        from bufferx_tpu.tools.torch_import import _load_without_torch
+
+        t = torch.randn(4, 4).to(torch.bfloat16)
+        path = tmp_path / "bf16.pth"
+        torch.save({"w": t}, str(path))
+        manual = _load_without_torch(str(path))
+        got_f32 = (
+            np.asarray(manual["w"]).astype(np.uint32) << 16
+        ).view(np.float32)
+        np.testing.assert_array_equal(got_f32, t.float().numpy())
+
+
+def test_imported_weights_through_full_pipeline(ref_model, tmp_path):
+    """End-to-end: imported reference weights drive the FULL registration
+    pipeline, and both parse routes (torch / torch-free) produce the
+    identical pose on a fixed pair (round-5 VERDICT #7)."""
+    import os
+
+    from bufferx_tpu.config import make_cfg
+    from bufferx_tpu.core import se3
+    from bufferx_tpu.data.modelnet import synthetic_pair_full_overlap
+    from bufferx_tpu.pipeline.registration import (
+        PipelineStatics,
+        init_params,
+        prepare_cloud,
+        register_pair_jit,
+    )
+    from bufferx_tpu.tools.torch_import import (
+        _load_without_torch,
+        desc_variables_from_reference,
+        pose_variables_from_reference,
+    )
+
+    _, path = ref_model
+    cfg = make_cfg("3DMatch").override(
+        capacity=dict(max_points=1536, num_ransac_hypotheses=512,
+                      ransac_chunk=128, sphere_query_chunk=64),
+        patch=dict(num_fps=192, num_points_radius_estimate=192,
+                   num_points_per_patch=96, num_scales=2,
+                   search_radius_thresholds=(5.0, 2.0), voxel_sample=NS),
+    )
+    assert cfg.patch.desc_mode == "sampled"
+    template = init_params(cfg, jax.random.PRNGKey(0))
+
+    poses = {}
+    for route in ("torch", "manual"):
+        sd = (load_state_dict(path) if route == "torch"
+              else _load_without_torch(path))
+        sd = {k: np.asarray(v) for k, v in sd.items()}
+        params = {
+            "desc": desc_variables_from_reference(
+                {k: v for k, v in sd.items() if "Desc" in k}),
+            "pose": pose_variables_from_reference(
+                {k: v for k, v in sd.items() if "Pose" in k}),
+        }
+        # template-shape check: imported trees must match init exactly
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(template)):
+            assert np.asarray(a).shape == np.asarray(b).shape
+        statics = PipelineStatics.from_config(cfg)
+        rs = np.random.RandomState(42)
+        s, t, T = synthetic_pair_full_overlap(rs, num_points=1400)
+        res = register_pair_jit(
+            params, statics,
+            prepare_cloud(s, cfg, seed=0), prepare_cloud(t, cfg, seed=0),
+            jnp.asarray(False), jax.random.PRNGKey(3),
+        )
+        assert bool(jnp.isfinite(res.pose).all())
+        poses[route] = np.asarray(res.pose)
+    np.testing.assert_allclose(poses["torch"], poses["manual"], atol=1e-6)
