@@ -22,12 +22,45 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _spawn_multiprocess(args) -> int:
+    """Parent of --multiprocess-cpu: spawn 2 workers, relay rank 0."""
+    import os
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--multiprocess-cpu", "--small",
+           "--pairs-per-device", str(args.pairs_per_device)]
+    procs = [
+        subprocess.Popen(
+            cmd + ["--mp-worker", f"{port}:{i}"],
+            stdout=subprocess.PIPE if i else None,
+            stderr=subprocess.STDOUT if i else None,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    rc = [p.wait() for p in procs]
+    if any(rc):
+        log(f"worker exit codes: {rc}")
+        return 1
+    return 0
 
 
 def main() -> int:
@@ -38,12 +71,40 @@ def main() -> int:
                    help="small capacities (CPU/virtual-mesh validation)")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() first")
+    p.add_argument("--multiprocess-cpu", action="store_true",
+                   help="spawn 2 local processes (4 virtual CPU devices "
+                        "each) and run the pair-sharded eval across one "
+                        "8-device multi-controller mesh — functional "
+                        "validation of the REAL jax.distributed path "
+                        "without a slice")
+    p.add_argument("--mp-worker", default=None, help=argparse.SUPPRESS)
     p.add_argument("--checkpoint-dir", default="snapshot/synthetic")
     args = p.parse_args()
 
+    if args.multiprocess_cpu and args.mp_worker is None:
+        return _spawn_multiprocess(args)
+
+    import os
+
+    if args.mp_worker is not None:
+        port, pid = args.mp_worker.split(":")
+        os.environ["XLA_FLAGS"] = (
+            "--xla_force_host_platform_device_count=4 "
+            + os.environ.get("XLA_FLAGS", "")
+        )
+
     import jax
 
-    if args.distributed:
+    if args.mp_worker is not None:
+        jax.config.update("jax_platforms", "cpu")
+        jax.distributed.initialize(
+            coordinator_address=f"localhost:{port}",
+            num_processes=2, process_id=int(pid),
+        )
+        log(f"worker {pid}: {jax.process_count()} processes, "
+            f"{jax.device_count()} global devices")
+        args.small = True
+    elif args.distributed:
         jax.distributed.initialize()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -83,7 +144,11 @@ def main() -> int:
 
     n_dev = len(jax.devices())
     sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
+    if args.mp_worker is not None:
+        sizes = [n_dev]  # one global mesh spanning both processes
     log(f"devices: {n_dev} x {jax.devices()[0].platform}; mesh sizes {sizes}")
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     base = None
     results = []
@@ -100,14 +165,26 @@ def main() -> int:
         sb, tb = stack_clouds(srcs), stack_clouds(tgts)
         aligned = jnp.zeros((b,), bool)
         keys = jax.random.split(jax.random.PRNGKey(0), b)
+        if args.mp_worker is not None:
+            # multi-controller: commit inputs as GLOBAL sharded arrays
+            shard = NamedSharding(mesh, P("dp"))
+            sb, tb, aligned, keys = jax.device_put(
+                (sb, tb, aligned, keys), shard
+            )
+            fence = jax.jit(
+                lambda r: jnp.sum(r.num_inliers),
+                out_shardings=NamedSharding(mesh, P()),
+            )
+        else:
+            fence = lambda r: np.asarray(r.num_inliers).sum()  # noqa: E731
 
         res = eval_fn(sb, tb, aligned, keys)       # compile + warm
-        float(np.asarray(res.num_inliers).sum())
+        float(fence(res))
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
             res = eval_fn(sb, tb, aligned, keys)
-            float(np.asarray(res.num_inliers).sum())
+            float(fence(res))
         dt = (time.perf_counter() - t0) / reps
         pps = b / dt
         if base is None:
