@@ -170,6 +170,11 @@ class PatchConfig:
     # strided (= uniform random, clouds are pre-shuffled) subset leaves
     # the 1-cm-rounded estimate unchanged to well within its own noise.
     radius_subsample: int = 4
+    # Which cloud calibrates the shared per-scale descriptor radius:
+    # "denser" (reference semantics, BUFFERX.py:654-659) or "sparser"
+    # (round-5 density-mismatch experiment — the shared radius then
+    # guarantees enough in-radius points on the SPARSE cloud's patches).
+    radius_source: str = "denser"
     # SPT moment pooling point-subsample stride: pool cell moments over
     # every ``spt_pool_subsample``-th patch point and rescale the sums by
     # the stride (an unbiased full-patch estimate). MEASURED DEAD END at

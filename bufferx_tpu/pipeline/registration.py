@@ -118,6 +118,7 @@ class PipelineStatics:
     bq_cand_blocks: int = 64       # candidate blocks per center
     strat_ball_query: bool = False  # gather-free stratified ball query
     radius_subsample: int = 1       # point-column stride in radius est.
+    radius_source: str = "denser"   # radius calibration cloud (|"sparser")
     spt_pool_subsample: int = 1     # SPT pooling point stride (unbiased)
     # scale batching OFF by default (matches PatchConfig.vmap_scales: the
     # unrolled per-scale chain measured 76.3 vs 90.6 ms/pair post-kernels,
@@ -169,6 +170,7 @@ class PipelineStatics:
             bq_cand_blocks=cfg.patch.bq_cand_blocks,
             strat_ball_query=cfg.patch.strat_ball_query,
             radius_subsample=cfg.patch.radius_subsample,
+            radius_source=cfg.patch.radius_source,
             spt_pool_subsample=cfg.patch.spt_pool_subsample,
             vmap_scales=cfg.patch.vmap_scales,
             fused_conv=cfg.patch.fused_conv,
@@ -441,8 +443,16 @@ def _precompute(statics: PipelineStatics, src: Cloud, tgt: Cloud,
         t_probe - c_tgt, tgt.xyz - c_tgt, t_v, tgt.mask, precise=False
     )
 
-    # density-aware radii from the denser cloud (reference :654-659)
-    use_src = jnp.sum(src.mask) > jnp.sum(tgt.mask)
+    # density-aware radii from the denser cloud (reference :654-659).
+    # ``radius_source="sparser"`` flips the pick: under heavy density
+    # mismatch the denser-cloud calibration leaves the sparse cloud's
+    # patches with ~patch_sample/ratio points (round-5 hard-cell
+    # experiment; the shared radius itself stays cloud-consistent either
+    # way, which is what descriptor scale consistency needs).
+    denser_src = jnp.sum(src.mask) > jnp.sum(tgt.mask)
+    use_src = (
+        ~denser_src if statics.radius_source == "sparser" else denser_src
+    )
     pts_m = jnp.where(use_src, src.mask, tgt.mask)
     probes_m = jnp.where(use_src, s_v, t_v)
     radii = density_aware_radius_from_d2(
