@@ -114,8 +114,8 @@ def main() -> int:
     if args.r5:
         shipped = dict(cf=False, bq=False, b=32, c=64, st=True, vm=False)
         combos = [
-            ("r4-shipped (per-scale conv)", dict(**shipped, sbc=False),
-             False),
+            ("shipped-ransac", dict(**shipped), False),
+            ("shipped-gnc", dict(**shipped, solver="gnc"), False),
             ("scale-batched conv", dict(**shipped, sbc=True), False),
         ]
     elif args.geom:
@@ -167,6 +167,8 @@ def main() -> int:
         )
         if "chunk" in o:
             cfg = cfg.override(capacity=dict(sphere_query_chunk=o["chunk"]))
+        if "solver" in o:
+            cfg = cfg.override(match=dict(pose_estimator=o["solver"]))
         statics = PipelineStatics.from_config(cfg)
         scales = (tuple(range(statics.num_scales)) if args.full_scales
                   else (0,))
