@@ -210,6 +210,11 @@ class PatchConfig:
     # per-scale calls already amortize call overhead at B=8, and the
     # concats add memory traffic. Kept for smaller-batch serving modes.
     scale_batch_conv: bool = False
+    # Matched-equi row gather as a one-hot MXU matmul (exact 0/1 row
+    # selection at the cost volume's own bf16 input precision). TRACE_r5
+    # found the plain gather fused with a pathological layout inversion
+    # at 22 ms/scale/batch — the largest op on the serving critical path.
+    mxu_gather: bool = False
 
 
 @dataclass(frozen=True)

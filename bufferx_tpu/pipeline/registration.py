@@ -130,6 +130,11 @@ class PipelineStatics:
     # one conv call across all scales — measured neutral-to-slightly-worse
     # at B=8 (HEADTOHEAD_r5_sbc.jsonl); default matches PatchConfig
     scale_batch_conv: bool = False
+    # equi-map row gather as one-hot MXU matmul: TRACE_r5 found the
+    # t_equi[nn] gather+relayout fusion at 22 ms/scale/batch (the single
+    # largest op on the critical path); the one-hot contraction sidesteps
+    # both the per-row gather cost and the layout inversion
+    mxu_gather: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config) -> "PipelineStatics":
@@ -175,6 +180,7 @@ class PipelineStatics:
             vmap_scales=cfg.patch.vmap_scales,
             fused_conv=cfg.patch.fused_conv,
             scale_batch_conv=cfg.patch.scale_batch_conv,
+            mxu_gather=cfg.patch.mxu_gather,
         )
 
 
@@ -344,6 +350,29 @@ def _embed(params, statics: PipelineStatics, cloud: Cloud, kpts, des_r,
     inv = _spt_features(normed, pmask, statics)
     out = desc_model.apply(params["desc"], inv, train=False)
     return out["desc"], out["equi"], R
+
+
+def _gather_rows_mxu(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``x[idx]`` for row-indexed tensors as a one-hot MXU contraction.
+
+    TPU row gathers cost per ROW regardless of width, and XLA pairs the
+    big equi-map gather with a pathological layout inversion
+    (TRACE_r5.jsonl: 22 ms per scale per batch — the largest single op
+    on the serving critical path). A 0/1 one-hot matmul is exact row
+    selection (each output row sums exactly one nonzero product), runs
+    on the MXU in bf16, and emits a clean row-major result. The bf16
+    pass-through matches the rounding the cost-volume stem applies to
+    its inputs anyway; callers needing full precision should keep plain
+    indexing.
+    """
+    n = x.shape[0]
+    oh = jax.nn.one_hot(idx, n, dtype=jnp.bfloat16)          # [K, N]
+    flat = x.reshape(n, -1).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        oh, flat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape((idx.shape[0],) + x.shape[1:]).astype(x.dtype)
 
 
 def _solve(statics: PipelineStatics, ss, tt, pool, valid, key):
@@ -534,14 +563,17 @@ def _scale_candidates(params, statics: PipelineStatics, src: Cloud,
     )
 
     tt_kpts = pre.tgt_kpts[nn]
-    ss_equi, tt_equi = s_equi, t_equi[nn]
     ss_R, tt_R = s_R, t_R[nn]
 
     e = statics.ele_n
+    ss_equi = s_equi[:, :, 1 : e - 1]
+    if statics.mxu_gather:
+        # slice first (fewer columns), then one-hot MXU row selection
+        tt_equi = _gather_rows_mxu(t_equi[:, :, 1 : e - 1], nn)
+    else:
+        tt_equi = t_equi[nn][:, :, 1 : e - 1]
     ind = pose_model.apply(
-        params["pose"],
-        ss_equi[:, :, 1 : e - 1], tt_equi[:, :, 1 : e - 1],
-        train=False,
+        params["pose"], ss_equi, tt_equi, train=False,
     )
     R_c, t_c = so2_pose_candidates(
         pre.src_kpts, tt_kpts, ss_R, tt_R, ind, statics.azi_n
@@ -606,9 +638,11 @@ def _scale_candidates_conv_batched(params, statics: PipelineStatics,
         )
         tt_kpts = pre.tgt_kpts[nn]
         per_scale.append((tt_kpts, R2[:nf], R2[nf:][nn], mutual, nn_d2))
-        eq_pairs.append(
-            (s_equi[:, :, 1 : e - 1], t_equi[nn][:, :, 1 : e - 1])
-        )
+        if statics.mxu_gather:
+            tt_eq = _gather_rows_mxu(t_equi[:, :, 1 : e - 1], nn)
+        else:
+            tt_eq = t_equi[nn][:, :, 1 : e - 1]
+        eq_pairs.append((s_equi[:, :, 1 : e - 1], tt_eq))
 
     ind_all = pose_model.apply(
         params["pose"],

@@ -116,7 +116,9 @@ def main() -> int:
         combos = [
             ("shipped-ransac", dict(**shipped), False),
             ("shipped-gnc", dict(**shipped, solver="gnc"), False),
-            ("scale-batched conv", dict(**shipped, sbc=True), False),
+            ("mxu-gather", dict(**shipped, mxg=True), False),
+            ("mxu-gather+gnc", dict(**shipped, mxg=True, solver="gnc"),
+             False),
         ]
     elif args.geom:
         # Round-4 sweep: the round-3 "blocks32x64" rows were a fallback
@@ -163,7 +165,8 @@ def main() -> int:
                        strat_ball_query=o.get("st", False),
                        vmap_scales=o.get("vm", True),
                        spt_pool_subsample=o.get("sub", 1),
-                       scale_batch_conv=o.get("sbc", True)),
+                       scale_batch_conv=o.get("sbc", False),
+                       mxu_gather=o.get("mxg", False)),
         )
         if "chunk" in o:
             cfg = cfg.override(capacity=dict(sphere_query_chunk=o["chunk"]))

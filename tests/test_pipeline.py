@@ -143,6 +143,44 @@ class TestRegisterPair:
         assert int(res[True].num_mutual) == int(res[False].num_mutual)
         assert int(res[True].num_inliers) == int(res[False].num_inliers)
 
+    def test_mxu_gather_matches_plain_indexing(self, cfg_params):
+        """One-hot MXU row selection == x[idx] at the cost volume's bf16
+        input precision; pipeline poses must agree to that tolerance."""
+        import numpy as _np
+
+        from bufferx_tpu.pipeline.registration import _gather_rows_mxu
+
+        rs = _np.random.RandomState(3)
+        x = jnp.asarray(rs.randn(64, 32, 5, 20), jnp.float32)
+        idx = jnp.asarray(rs.randint(0, 64, size=64), jnp.int32)
+        got = _gather_rows_mxu(x, idx)
+        want = x[idx]
+        # exact at bf16: selection sums exactly one nonzero product
+        _np.testing.assert_array_equal(
+            _np.asarray(got),
+            _np.asarray(want.astype(jnp.bfloat16).astype(jnp.float32)),
+        )
+
+        cfg, params = cfg_params
+        rs = _np.random.RandomState(12)
+        src_pts, tgt_pts, T_gt = synthetic_pair_full_overlap(
+            rs, num_points=2500
+        )
+        src = prepare_cloud(src_pts, cfg, seed=6)
+        tgt = prepare_cloud(tgt_pts, cfg, seed=6)
+        key = jax.random.PRNGKey(9)
+        res = {}
+        for on in (True, False):
+            statics = PipelineStatics.from_config(
+                cfg.override(patch=dict(mxu_gather=on))
+            )
+            res[on] = register_pair_jit(
+                params, statics, src, tgt, jnp.asarray(False), key
+            )
+        rte_gap = float(se3.compute_rte(res[True].pose, res[False].pose))
+        assert rte_gap < 0.02, rte_gap
+        assert int(res[True].num_mutual) == int(res[False].num_mutual)
+
     def test_early_exit_masked_variant(self, cfg_params):
         cfg, params = cfg_params
         cfg_ee = cfg.override(
