@@ -214,7 +214,9 @@ class PatchConfig:
     # selection at the cost volume's own bf16 input precision). TRACE_r5
     # found the plain gather fused with a pathological layout inversion
     # at 22 ms/scale/batch — the largest op on the serving critical path.
-    mxu_gather: bool = False
+    # Default ON: -8.1 ms/pair at B=8 full 3-scale with bit-identical
+    # decision-cell recall (HEADTOHEAD_r5_mxg.jsonl, GATE_r05_mxg_quick).
+    mxu_gather: bool = True
 
 
 @dataclass(frozen=True)
