@@ -98,17 +98,24 @@ def density_aware_radius_from_d2(
     """Same, from a precomputed [K, N] distance matrix (the pipeline shares
     one matrix between radius estimation and patch extraction).
 
-    ``subsample`` > 1 estimates the quantiles over every ``subsample``-th
-    point column. Points arrive pre-shuffled, so a strided slice is a
-    uniform random subset; the 12 bisection rounds then re-read a
-    ``subsample``x smaller matrix (the bisection re-reads dominate the
-    precompute stage's HBM traffic at production shapes). Sampling noise
-    at the default stride-4 is ~0.3% of the target count — far inside the
-    estimate's own 1 cm rounding.
+    ``subsample`` > 1 estimates the quantiles over a 1/subsample point
+    subset. Points arrive pre-shuffled, so a CONTIGUOUS PREFIX of columns
+    is a uniform random subset, exactly like the strided slice it
+    replaces — but the prefix is a free slice, whereas the strided
+    ``[:, ::4]`` forced XLA to relayout the whole [K, N] matrix
+    (TRACE_r5b: a 5.95 ms pure copy of [8, 2000, 30208] per batch). The
+    12 bisection rounds then re-read a ``subsample``x smaller matrix
+    (those re-reads dominate the precompute stage's HBM traffic at
+    production shapes). Sampling noise at the default 1/4 subset is
+    ~0.3% of the target count — far inside the estimate's own 1 cm
+    rounding. (Padding rows sit at the cloud's tail; the recomputed
+    ``total`` uses the sliced mask, so a prefix that captures more valid
+    points than the stride did just means MORE quantile samples.)
     """
     if subsample > 1:
-        d2 = d2[:, ::subsample]
-        pts_mask = pts_mask[::subsample]
+        keep = d2.shape[1] // subsample
+        d2 = d2[:, :keep]
+        pts_mask = pts_mask[:keep]
     w = (kpts_mask[:, None] & pts_mask[None, :]).astype(jnp.float32)
     # reference counts only pairs within max_r but divides by the full count
     w = jnp.where(d2 <= max_r * max_r, w, 0.0)
