@@ -12,6 +12,14 @@ round-robin protocol (the only reliable ranking over the axon tunnel —
 see .claude/skills/verify/SKILL.md).
 
 Usage: python scripts/exp_cumulative.py [--batch 8] [--rounds 4]
+
+
+ROUND-5 CAVEAT: phase-fenced attribution charges XLA's cross-phase
+layout/fusion ops to whichever phase contains them — round 4's "conv
+stacks cost 41 ms/pair in context" was actually ~8 ms of convolutions
+plus ~30 ms of gather/relayout fusions (fixed by patch.mxu_gather).
+Prefer scripts/exp_trace.py (device trace, per-op) for attribution;
+use this script only for coarse phase deltas.
 """
 
 from __future__ import annotations
